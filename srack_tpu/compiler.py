@@ -1,0 +1,281 @@
+"""Patch compiler: lower a Patch IR to one fused JAX program.
+
+The reference's hot loop is two nested loops -- a sequential module loop per
+tick (src/synth.rs:97-101) around per-sample loops inside each ``calc()``
+(src/main.rs:59-90 call stack).  Lowering inverts that nesting, which is the
+whole TPU trick: the module chain becomes straight-line code *inside* a
+single per-sample ``lax.scan`` body, so XLA fuses every module's math into
+one loop body with all state in registers/VMEM, and ``vmap`` turns the body
+into wide VPU lanes across voices.
+
+Feedback semantics: the planner deletes back-edges (synth.rs:168-192) and
+the Rust runtime then simply reads whatever is in the source's buffer --
+fresh if the source already ran this tick, else the previous tick's value.
+The compiler reproduces that rule purely from plan positions: an input whose
+source is planned at-or-after its sink reads the scan carry ("fb") instead
+of this sample's value.
+
+* default (``buffer_feedback=False``): fb holds the previous *sample*
+  (one-sample feedback delay -- tighter than the reference can do).
+* compat (``buffer_feedback=True``): fb holds the previous *block* of
+  ``block_size`` samples, reproducing the reference's previous-buffer
+  semantics exactly; rendering runs as an outer scan over blocks whose
+  inner scan consumes the previous block's fb lanes as xs.
+
+Stateless per-sample sources (Noise randomness, Input drivers) are hoisted
+out of the scan as xs with leading time axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .config import AudioConfig
+from .modules.base import CV_DTYPE
+from .patch import Patch, ModuleHandle
+from .planner import plan_execution
+
+
+def _probe_key(mid: str, port: int) -> str:
+    return f"{mid}:{port}"
+
+
+class CompiledPatch:
+    """An executable patch: static structure + cached jitted render fns."""
+
+    def __init__(self, patch: Patch, probes: Sequence = ()):
+        self.cfg: AudioConfig = patch.config
+        self.plan, self.broken = plan_execution(patch)
+        self.plan_pos = {mid: i for i, mid in enumerate(self.plan)}
+        self.output_id = patch.output.id
+        # Snapshot static structure (the Patch may mutate afterwards).
+        self.instances = {
+            inst.id: (inst.mdef, inst.statics, tuple(inst.inputs))
+            for inst in patch
+        }
+        self.default_params = patch.params()
+        self.topology_key = patch.topology_key()
+
+        # probes: (module, port) pairs resolved to (mid, port_idx)
+        self.probes = []
+        for module, port in probes:
+            mid = module.id if isinstance(module, ModuleHandle) else module
+            mdef, statics, _ = self.instances[mid]
+            pidx = mdef.port_index(self.cfg, statics, port, output=True)
+            self.probes.append((mid, pidx))
+
+        # feedback reads: inputs whose source runs at-or-after the sink
+        self.fb_keys = set()
+        for mid, (_, _, inputs) in self.instances.items():
+            for conn in inputs:
+                if conn is None:
+                    continue
+                src, sport = conn
+                if self.plan_pos[src] >= self.plan_pos[mid]:
+                    self.fb_keys.add((src, sport))
+        self.fb_keys = tuple(sorted(self.fb_keys))
+
+        # modules with hoisted per-sample inputs (noise xs / Input drivers)
+        self.xs_modules = tuple(
+            mid for mid in self.plan
+            if self.instances[mid][0].make_xs is not None
+            or self.instances[mid][0].type_name == "Input"
+        )
+        self._fn_cache: dict = {}
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self) -> dict:
+        cfg = self.cfg
+        states = {
+            mid: mdef.init_state(cfg, statics)
+            for mid, (mdef, statics, _) in self.instances.items()
+        }
+        if cfg.buffer_feedback:
+            fb = {k: jnp.zeros((cfg.block_size,), dtype=CV_DTYPE)
+                  for k in self.fb_keys}
+        else:
+            fb = {k: jnp.zeros((), dtype=CV_DTYPE) for k in self.fb_keys}
+        return {"states": states, "fb": fb}
+
+    # -- xs (hoisted per-sample inputs) --------------------------------------
+
+    def _make_xs(self, params: dict, key, n: int, drivers: dict) -> dict:
+        xs = {}
+        for i, mid in enumerate(self.xs_modules):
+            mdef, statics, _ = self.instances[mid]
+            if mid in drivers:
+                arr = jnp.asarray(drivers[mid], dtype=CV_DTYPE)
+                if arr.shape[-1] != n:
+                    raise ValueError(
+                        f"driver for {mid} has {arr.shape[-1]} samples, "
+                        f"render needs {n}")
+                xs[mid] = arr
+            elif mdef.make_xs is not None:
+                sub = jax.random.fold_in(key, i)
+                xs[mid] = mdef.make_xs(self.cfg, statics, params[mid], sub, n)
+            # Input modules without a driver: step() falls back to the
+            # constant param; no xs entry.
+        return xs
+
+    # -- the fused per-sample body -------------------------------------------
+
+    def _sample_step(self, params, states, fb_t, x_t):
+        """One sample through the whole plan.  ``fb_t`` maps fb key ->
+        scalar feedback value for this sample; ``x_t`` maps module id ->
+        this sample's hoisted input."""
+        cfg = self.cfg
+        values = {}
+        new_states = {}
+        channels = None
+        for mid in self.plan:
+            mdef, statics, inputs = self.instances[mid]
+            ins = []
+            for conn in inputs:
+                if conn is None:
+                    ins.append(None)
+                else:
+                    src, sport = conn
+                    if self.plan_pos[src] >= self.plan_pos[mid]:
+                        ins.append(fb_t[(src, sport)])
+                    else:
+                        ins.append(values[(src, sport)])
+            new_state, outs = mdef.step(
+                cfg, statics, params[mid], states[mid], ins, x_t.get(mid))
+            new_states[mid] = new_state
+            for p, v in enumerate(outs):
+                values[(mid, p)] = v
+            if mid == self.output_id:
+                channels = outs
+        fb_out = {k: values[k] for k in self.fb_keys}
+        probe_vals = {
+            _probe_key(mid, p): values[(mid, p)] for mid, p in self.probes}
+        audio = jnp.stack(channels) if channels else jnp.zeros((0,), CV_DTYPE)
+        return new_states, fb_out, audio, probe_vals
+
+    # -- whole-render programs ----------------------------------------------
+
+    def _render_sample_mode(self, params, state, xs, n: int):
+        def body(carry, x_t):
+            states, fb = carry
+            new_states, fb_out, audio, probe_vals = self._sample_step(
+                params, states, fb, x_t)
+            return (new_states, fb_out), (audio, probe_vals)
+
+        (states_f, fb_f), (ys, probe_ys) = jax.lax.scan(
+            body, (state["states"], state["fb"]), xs, length=n)
+        audio = jnp.transpose(ys)  # [n, C] -> [C, n]
+        return audio, probe_ys, {"states": states_f, "fb": fb_f}
+
+    def _render_buffer_mode(self, params, state, xs, n: int):
+        block = self.cfg.block_size
+        if n % block != 0:
+            raise ValueError(
+                f"buffer_feedback mode renders whole blocks: n={n} is not a "
+                f"multiple of block_size={block}")
+        n_blocks = n // block
+        xs_blocked = jax.tree.map(
+            lambda a: a.reshape((n_blocks, block) + a.shape[1:]), xs)
+
+        def outer(carry, xs_b):
+            states, fb_blocks = carry
+
+            def inner(states2, t_in):
+                x_t, fb_t = t_in
+                new_states, fb_out, audio, probe_vals = self._sample_step(
+                    params, states2, fb_t, x_t)
+                return new_states, (audio, fb_out, probe_vals)
+
+            states_f, (audio_b, fb_ys, probe_b) = jax.lax.scan(
+                inner, states, (xs_b, fb_blocks), length=block)
+            return (states_f, fb_ys), (audio_b, probe_b)
+
+        (states_f, fb_f), (ys, probe_ys) = jax.lax.scan(
+            outer, (state["states"], state["fb"]), xs_blocked, length=n_blocks)
+        # ys: [n_blocks, block, C] -> [C, n]
+        audio = jnp.transpose(ys.reshape((n, -1)))
+        probe_ys = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), probe_ys)
+        return audio, probe_ys, {"states": states_f, "fb": fb_f}
+
+    # -- public entry --------------------------------------------------------
+
+    def make_render_fn(self, n: int, batched: bool = False):
+        """The pure (unjitted) render program:
+        ``(params, state, key, drivers) -> (audio, probes, final_state)``."""
+
+        def run(params, state, key, drivers):
+            xs = self._make_xs(params, key, n, drivers)
+            if self.cfg.buffer_feedback:
+                return self._render_buffer_mode(params, state, xs, n)
+            return self._render_sample_mode(params, state, xs, n)
+
+        if batched:
+            run = jax.vmap(run, in_axes=(0, 0, 0, 0))
+        return run
+
+    def _get_fn(self, n: int, batched: bool):
+        cache_key = (n, batched)
+        fn = self._fn_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(self.make_render_fn(n, batched))
+            self._fn_cache[cache_key] = fn
+        return fn
+
+    def render(self, n_samples: int, *, params: Optional[dict] = None,
+               state: Optional[dict] = None, key=None, drivers=None,
+               batched: bool = False):
+        """Render ``n_samples``.
+
+        Returns ``(audio, probes, final_state)`` where audio is
+        ``[channels, n]`` (batched: ``[V, channels, n]``).  Pass the returned
+        state back in to continue a render seamlessly -- module state carries
+        across calls exactly as the reference's module fields persist across
+        ``calc`` ticks (SURVEY.md §5 long-context).
+        """
+        if params is None:
+            params = self.default_params
+        if state is None:
+            state = self.init_state()
+            if batched:
+                # broadcast fresh state over the leading batch axis of params
+                v = jax.tree.leaves(params)[0].shape[0]
+                state = jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (v,) + a.shape), state)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        elif isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        if batched and key.ndim == 1:
+            v = jax.tree.leaves(params)[0].shape[0]
+            key = jax.random.split(key, v)
+        drv = {}
+        if drivers:
+            for module, arr in drivers.items():
+                mid = module.id if isinstance(module, ModuleHandle) else module
+                drv[mid] = arr
+        fn = self._get_fn(int(n_samples), batched)
+        return fn(params, state, key, drv)
+
+
+_COMPILE_CACHE: dict = {}
+
+
+def compile_patch(patch: Patch, probes: Sequence = ()) -> CompiledPatch:
+    """Compile a patch, cached by topology (module types + statics + wiring;
+    param values excluded, so slider edits reuse the compiled program --
+    SURVEY.md §7 hard part e)."""
+    probes_key = tuple(
+        ((m.id if isinstance(m, ModuleHandle) else m), p) for m, p in probes)
+    key = (patch.topology_key(), probes_key)
+    cached = _COMPILE_CACHE.get(key)
+    if cached is None:
+        cached = CompiledPatch(patch, probes=probes)
+        _COMPILE_CACHE[key] = cached
+    else:
+        # refresh default params (they may have changed without recompiling)
+        cached.default_params = patch.params()
+    return cached

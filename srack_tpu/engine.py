@@ -1,0 +1,90 @@
+"""Render entry points.
+
+These replace the reference's cpal real-time layer (src/main.rs:24-101): the
+audio callback's execute-then-interleave machinery becomes pure functions
+returning ``[channels, n]`` arrays, a block-iterator for streaming, and a
+batched render farm.
+
+* :func:`render` -- offline render of a patch.
+* :func:`render_stream` -- generator of ``block_size`` chunks carrying
+  module state between blocks, the analogue of the reference's
+  buffer-to-buffer streaming (main.rs:59-90); O(1) memory for unbounded
+  renders.
+* :func:`render_batch` -- vmap over stacked parameter pytrees: thousands of
+  voices/patches of one topology rendered in parallel (SURVEY.md §2f).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .compiler import CompiledPatch, compile_patch
+from .patch import Patch
+
+
+def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
+           state: Optional[dict] = None, key=None, drivers=None,
+           probes: Sequence = ()):
+    """Render ``n_samples`` of a patch offline.
+
+    Returns ``(audio, probes, final_state)``; ``audio`` is ``[channels, n]``
+    float32.  Mirrors "run the graph for n/block ticks and keep the Output
+    module's buffers" in the reference.
+    """
+    compiled = compile_patch(patch, probes=probes)
+    return compiled.render(n_samples, params=params, state=state, key=key,
+                           drivers=drivers)
+
+
+def render_stream(patch: Patch, *, params: Optional[dict] = None,
+                  state: Optional[dict] = None, key=None,
+                  n_blocks: Optional[int] = None,
+                  probes: Sequence = ()) -> Iterator:
+    """Yield ``(audio_block, probe_block, state)`` tuples of
+    ``block_size`` samples forever (or for ``n_blocks``)."""
+    compiled = compile_patch(patch, probes=probes)
+    cfg = compiled.cfg
+    if params is None:
+        params = compiled.default_params
+    if state is None:
+        state = compiled.init_state()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    i = 0
+    while n_blocks is None or i < n_blocks:
+        key, sub = jax.random.split(key)
+        audio, probe_vals, state = compiled.render(
+            cfg.block_size, params=params, state=state, key=sub)
+        yield audio, probe_vals, state
+        i += 1
+
+
+def stack_params(param_list: Sequence[dict]) -> dict:
+    """Stack per-voice param pytrees (same topology) along a leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+
+
+def replicate_params(params: dict, n: int) -> dict:
+    """Broadcast one param pytree to ``n`` identical voices."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), params)
+
+
+def render_batch(patch: Patch, n_samples: int, *, params: dict,
+                 state: Optional[dict] = None, key=None, drivers=None,
+                 probes: Sequence = ()):
+    """Render a batch of voices of one topology in parallel.
+
+    ``params`` must carry a leading voice axis on every leaf (see
+    :func:`stack_params` / :func:`replicate_params`).  Returns audio of
+    shape ``[voices, channels, n]``.  This is the TPU-native replacement for
+    instantiating N module graphs (SURVEY.md §2f: voice batching).
+    """
+    compiled = compile_patch(patch, probes=probes)
+    return compiled.render(n_samples, params=params, state=state, key=key,
+                           drivers=drivers, batched=True)

@@ -1,0 +1,159 @@
+"""Freeverb stereo reverb.
+
+The reference module (src/synth/freeverb.rs) wraps the external ``freeverb
+0.1.0`` crate (Cargo.toml:32) and must be reimplemented here (SURVEY.md §2b):
+the classic Schroeder/Jezar "Freeverb" topology -- per channel 8 parallel
+lowpass-feedback comb filters summed, followed by 4 series allpasses, with
+the right channel's delay lines 23 samples longer (stereo spread).  Constants
+follow the public Jezar tunings used by that crate: comb lengths 1116..1617,
+allpass lengths 556/441/341/225 (at 44.1 kHz; scaled by ``len * sr / 44100``
+for other rates), fixed input gain 0.015, wet scale 3.0, dampening scale 0.4,
+room scale 0.28 + offset 0.7, allpass feedback 0.5.
+
+Control mapping mirrors the module's setters (freeverb.rs:88-114): the UI
+``dampening`` slider spans 0..=2 and multiplies onto the 0.4 scale; freeze
+forces feedback 1.0 / dampening 0 / input gain 0; wet1/wet2 encode stereo
+width.  Parameter changes are applied between blocks in the reference
+(freeverb.rs:208-214) and are constant within one render call here.
+
+State is a set of ring buffers in the scan carry with one write index per
+line (exact wraparound forever, no shared-counter overflow).  Core math is
+f64 in ``exact`` mode (the crate computes in f64; the module casts f32 in/out,
+freeverb.rs:239-240) and f32 in ``fast`` mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import AudioConfig
+from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
+
+COMB_TUNINGS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+ALLPASS_TUNINGS = (556, 441, 341, 225)
+STEREO_SPREAD = 23
+FIXED_GAIN = 0.015
+SCALE_WET = 3.0
+SCALE_DAMPENING = 0.4
+SCALE_ROOM = 0.28
+OFFSET_ROOM = 0.7
+ALLPASS_FEEDBACK = 0.5
+
+
+def adjust_length(length: int, sample_rate: int) -> int:
+    return max(1, (length * sample_rate) // 44100)
+
+
+def line_lengths(sample_rate: int):
+    """(comb_l[8], comb_r[8], ap_l[4], ap_r[4]) adjusted for sample rate."""
+    cl = tuple(adjust_length(t, sample_rate) for t in COMB_TUNINGS)
+    cr = tuple(adjust_length(t + STEREO_SPREAD, sample_rate) for t in COMB_TUNINGS)
+    al = tuple(adjust_length(t, sample_rate) for t in ALLPASS_TUNINGS)
+    ar = tuple(adjust_length(t + STEREO_SPREAD, sample_rate) for t in ALLPASS_TUNINGS)
+    return cl, cr, al, ar
+
+
+def _make(cfg: AudioConfig, dampening: float = 0.5, freeze: bool = False,
+          wet: float = 1.0, width: float = 0.5, room_size: float = 0.5,
+          dry: float = 0.0):
+    params = {
+        "dampening": cv(dampening),
+        "freeze": jnp.asarray(bool(freeze)),
+        "wet": cv(wet),
+        "width": cv(width),
+        "room_size": cv(room_size),
+        "dry": cv(dry),
+    }
+    return ("freeverb",), params
+
+
+def _core_dtype(cfg: AudioConfig):
+    return jnp.float64 if cfg.exact else jnp.float32
+
+
+def _init_state(cfg: AudioConfig, statics):
+    dt = _core_dtype(cfg)
+    cl, cr, al, ar = line_lengths(cfg.sample_rate)
+    state = {}
+    for name, lens in (("cl", cl), ("cr", cr), ("al", al), ("ar", ar)):
+        for i, n in enumerate(lens):
+            state[f"{name}{i}"] = jnp.zeros((n,), dtype=dt)
+            state[f"{name}{i}_idx"] = jnp.asarray(0, dtype=jnp.int32)
+    for i in range(len(cl)):
+        state[f"cl{i}_fs"] = jnp.asarray(0.0, dtype=dt)
+        state[f"cr{i}_fs"] = jnp.asarray(0.0, dtype=dt)
+    return state
+
+
+def freeverb_gains(params, dtype):
+    """Derived per-render gains (the crate's setter math)."""
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    frozen = params["freeze"]
+    damp = jnp.where(frozen, f(0.0), f(params["dampening"]) * SCALE_DAMPENING)
+    feed = jnp.where(frozen, f(1.0),
+                     f(params["room_size"]) * SCALE_ROOM + OFFSET_ROOM)
+    in_gain = jnp.where(frozen, f(0.0), f(FIXED_GAIN))
+    wet = f(params["wet"]) * SCALE_WET
+    width = f(params["width"])
+    wet1 = wet * (width / 2.0 + 0.5)
+    wet2 = wet * ((1.0 - width) / 2.0)
+    dry = f(params["dry"])
+    return damp, feed, in_gain, wet1, wet2, dry
+
+
+def _comb_tick(state, key, x, damp, feed):
+    buf, idx, fs = state[key], state[f"{key}_idx"], state[f"{key}_fs"]
+    out = buf[idx]
+    fs = out * (1.0 - damp) + fs * damp
+    buf = buf.at[idx].set(x + fs * feed)
+    idx = jnp.where(idx + 1 >= buf.shape[0], 0, idx + 1)
+    state[key], state[f"{key}_idx"], state[f"{key}_fs"] = buf, idx, fs
+    return out
+
+
+def _allpass_tick(state, key, x):
+    buf, idx = state[key], state[f"{key}_idx"]
+    delayed = buf[idx]
+    out = delayed - x
+    buf = buf.at[idx].set(x + delayed * ALLPASS_FEEDBACK)
+    idx = jnp.where(idx + 1 >= buf.shape[0], 0, idx + 1)
+    state[key], state[f"{key}_idx"] = buf, idx
+    return out
+
+
+def _step(cfg: AudioConfig, statics, params, state, ins, x=None):
+    dt = _core_dtype(cfg)
+    l_in = in_or(ins[0], 0.0).astype(dt)
+    r_in = in_or(ins[1], 0.0).astype(dt)
+    damp, feed, in_gain, wet1, wet2, dry = freeverb_gains(params, dt)
+
+    state = dict(state)
+    mixed = (l_in + r_in) * in_gain
+    out_l = jnp.asarray(0.0, dtype=dt)
+    out_r = jnp.asarray(0.0, dtype=dt)
+    for i in range(len(COMB_TUNINGS)):
+        out_l = out_l + _comb_tick(state, f"cl{i}", mixed, damp, feed)
+        out_r = out_r + _comb_tick(state, f"cr{i}", mixed, damp, feed)
+    for i in range(len(ALLPASS_TUNINGS)):
+        out_l = _allpass_tick(state, f"al{i}", out_l)
+        out_r = _allpass_tick(state, f"ar{i}", out_r)
+
+    final_l = (out_l * wet1 + out_r * wet2 + l_in * dry).astype(CV_DTYPE)
+    final_r = (out_r * wet1 + out_l * wet2 + r_in * dry).astype(CV_DTYPE)
+    return state, (final_l, final_r)
+
+
+_nin, _inlabels = const_ports(2, ("Left", "Right"))
+_nout, _outlabels = const_ports(2, ("Left", "Right"))
+
+FREEVERB = ModuleDef(
+    type_name="Freeverb",
+    make=_make,
+    num_inputs=_nin,
+    num_outputs=_nout,
+    input_labels=_inlabels,
+    output_labels=_outlabels,
+    init_state=_init_state,
+    step=_step,
+)

@@ -1,0 +1,140 @@
+"""Oscillator and Noise modules.
+
+Semantics mirror the reference oscillator (src/synth/oscillator.rs:9-306):
+pitch convention 1.0 CV = 1 octave with 0.0 -> 440 Hz
+(oscillator.rs:43-48), sine/square/saw outputs with polyBLEP band-limiting
+(oscillator.rs:124-153), and a Sync input that resets phase on a rising edge.
+
+TPU-first design notes
+----------------------
+* ``exact`` precision keeps the phase accumulator in f64 like the reference
+  (oscillator.rs:21 ``pos: f64``); requires ``jax_enable_x64`` and is meant
+  for CPU oracle validation.
+* ``fast`` precision keeps phase in **uint32 fixed point** (1 ulp = 2^-32 of
+  a cycle).  Integer adds wrap naturally, so ``pos % 1.0`` is free and the
+  accumulator has *zero* drift over arbitrarily long renders -- strictly
+  better behaved than a raw f32 accumulator, at f32 cost on the VPU.
+* Noise is reproducible counter-based randomness (threefry) hoisted out of
+  the scan as per-sample xs; the reference uses non-reproducible
+  ``rand::random`` (oscillator.rs:381-388) so noise paths are excluded from
+  sample-exact comparisons (SURVEY.md §7 hard part f).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AudioConfig
+from ..ops.basic import poly_blep, transition, transition_init
+from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
+
+_TWO32 = 4294967296.0  # 2**32
+
+
+def _osc_make(cfg: AudioConfig, val: float = 0.0, antialiasing: bool = True):
+    statics = ("antialias", bool(antialiasing))
+    params = {"val": cv(val)}
+    return statics, params
+
+
+def _osc_init_state(cfg: AudioConfig, statics):
+    if cfg.exact:
+        pos = jnp.asarray(0.0, dtype=jnp.float64)
+    else:
+        pos = jnp.asarray(0, dtype=jnp.uint32)
+    return {"pos": pos, "sync_last": transition_init()}
+
+
+def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
+    (_, antialias) = statics
+    cv_in, sync_in = ins
+    sync_val = in_or(sync_in, 0.0)
+    sync_last, fired = transition(state["sync_last"], sync_val)
+
+    if cfg.exact:
+        pos = jnp.where(fired, 0.0, state["pos"])
+        val = params["val"].astype(jnp.float64)
+        octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
+        delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate  # f64
+        pos_f = pos
+        new_pos = jnp.mod(pos + delta, 1.0)
+    else:
+        pos_u = jnp.where(fired, jnp.uint32(0), state["pos"])
+        octs = params["val"] if cv_in is None else cv_in + params["val"]
+        delta = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
+        # wrap to [0,1) then to u32 fixed point; integer add wraps mod 2^32
+        delta_u = (jnp.mod(delta, 1.0) * _TWO32).astype(jnp.uint32)
+        pos_f = pos_u.astype(CV_DTYPE) * (1.0 / _TWO32)
+        new_pos = pos_u + delta_u
+
+    two_pi = 2.0 * jnp.pi
+    sine = jnp.sin(pos_f * two_pi).astype(CV_DTYPE)
+
+    naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
+    naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
+    if antialias:
+        blep0 = poly_blep(pos_f, delta)
+        blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
+        square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
+        saw = naive_saw - blep0.astype(CV_DTYPE)
+    else:
+        square = naive_square
+        saw = naive_saw
+
+    new_state = {"pos": new_pos, "sync_last": sync_last}
+    return new_state, (sine, square, saw)
+
+
+_osc_nin, _osc_inlabels = const_ports(2, ("CV", "Sync"))
+_osc_nout, _osc_outlabels = const_ports(3, ("Sine", "Square", "Sawtooth"))
+
+OSCILLATOR = ModuleDef(
+    type_name="Oscillator",
+    make=_osc_make,
+    num_inputs=_osc_nin,
+    num_outputs=_osc_nout,
+    input_labels=_osc_inlabels,
+    output_labels=_osc_outlabels,
+    init_state=_osc_init_state,
+    step=_osc_step,
+)
+
+
+# ---------------------------------------------------------------------------
+# Noise
+# ---------------------------------------------------------------------------
+
+def _noise_make(cfg: AudioConfig, seed: int = 0):
+    return ("noise",), {"seed": jnp.asarray(seed, dtype=jnp.uint32)}
+
+
+def _noise_init_state(cfg: AudioConfig, statics):
+    return {}
+
+
+def _noise_make_xs(cfg: AudioConfig, statics, params, key, n: int):
+    key = jax.random.fold_in(key, params["seed"])
+    u = jax.random.uniform(key, (n,), dtype=CV_DTYPE)
+    # reference: (rand::random::<f32>() - 0.5) * 2.0  (oscillator.rs:385)
+    return (u - 0.5) * 2.0
+
+
+def _noise_step(cfg: AudioConfig, statics, params, state, ins, x=None):
+    return state, (x,)
+
+
+_noise_nin, _noise_inlabels = const_ports(0, ())
+_noise_nout, _noise_outlabels = const_ports(1, (None,))
+
+NOISE = ModuleDef(
+    type_name="Noise",
+    make=_noise_make,
+    num_inputs=_noise_nin,
+    num_outputs=_noise_nout,
+    input_labels=_noise_inlabels,
+    output_labels=_noise_outlabels,
+    init_state=_noise_init_state,
+    step=_noise_step,
+    make_xs=_noise_make_xs,
+)

@@ -1,0 +1,188 @@
+"""Grid and Pattern sequencers.
+
+Reference: src/synth/sequencer.rs.
+
+GridSequencer (sequencer.rs:190-246): a piano-roll of up to 64 steps.  The
+step pointer advances on a rising edge of the Step input, resets to 0 on a
+rising edge of Sync, and wraps when it reaches the sequence length.  A cell
+is off, a note, or a "slide" note: note cells emit cv = note/steps_per_octave
+with gate 1.0 when held ("slide" passes the raw Step input through as the
+gate, so the clock's duty cycle shapes the note); empty cells hold the last
+CV with gate 0.  Sync out pulses 1.0 on step 0.
+
+PatternSequencer (sequencer.rs:482-533): 8 trigger rows over the same step
+pointer; per row an on-cell emits 1.0, a slide-cell passes the Step input
+through, an empty cell emits 0.0.
+
+TPU-first: the sequence grid is a traced parameter table (fixed 64-wide with
+a traced ``n_steps``), so sequence *edits never recompile* -- the lookup is
+a gather by the carried step counter.  Cell encoding: 0 = off, 1 = slide,
+2 = on (the reference's Option<(note, hold)> / Option<bool>).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import AudioConfig
+from ..ops.basic import transition, transition_init
+from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
+
+MAX_STEPS = 64
+
+
+def _coerce_grid_sequence(sequence):
+    """Accept a list like [None, (note, hold), ...] -> (notes[64], cells[64])."""
+    notes = np.zeros((MAX_STEPS,), dtype=np.int32)
+    cells = np.zeros((MAX_STEPS,), dtype=np.int32)
+    if sequence is not None:
+        if len(sequence) > MAX_STEPS:
+            raise ValueError(f"sequence longer than {MAX_STEPS}")
+        for i, cell in enumerate(sequence):
+            if cell is None:
+                continue
+            note, hold = cell
+            notes[i] = int(note)
+            cells[i] = 2 if hold else 1
+    return notes, cells
+
+
+def _grid_make(cfg: AudioConfig, sequence=None, n_steps: int = 64,
+               octaves: int = 2, steps_per_octave: int = 12):
+    notes, cells = _coerce_grid_sequence(sequence)
+    params = {
+        "notes": jnp.asarray(notes),
+        "cells": jnp.asarray(cells),
+        "n_steps": jnp.asarray(int(n_steps), dtype=jnp.int32),
+        "steps_per_octave": jnp.asarray(int(steps_per_octave), dtype=jnp.int32),
+    }
+    return ("gridseq", int(octaves)), params
+
+
+def _grid_init_state(cfg: AudioConfig, statics):
+    return {
+        "current_step": jnp.asarray(0, dtype=jnp.int32),
+        "step_last": transition_init(),
+        "sync_last": transition_init(),
+        "last_cv": jnp.asarray(0.0, dtype=CV_DTYPE),
+    }
+
+
+def _advance_step(state, step_in, sync_in, n_steps):
+    """Shared step-pointer update (sequencer.rs:219-230)."""
+    step_last, step_fired = transition(state["step_last"], step_in)
+    sync_last, sync_fired = transition(state["sync_last"], sync_in)
+    cs = state["current_step"] + step_fired.astype(jnp.int32)
+    cs = jnp.where(sync_fired, 0, cs)
+    cs = jnp.where(cs >= n_steps, 0, cs)
+    return cs, step_last, sync_last
+
+
+def _grid_step(cfg: AudioConfig, statics, params, state, ins, x=None):
+    step_in = in_or(ins[0], 0.0)
+    sync_in = in_or(ins[1], 0.0)
+    cs, step_last, sync_last = _advance_step(state, step_in, sync_in,
+                                             params["n_steps"])
+    cell = params["cells"][cs]
+    note = params["notes"][cs]
+    spo = params["steps_per_octave"].astype(CV_DTYPE)
+    note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
+    on = cell > 0
+    cv_out = jnp.where(on, note_cv, state["last_cv"])
+    gate_out = jnp.where(on, jnp.where(cell == 2, cv(1.0), step_in), cv(0.0))
+    sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
+    new_state = {
+        "current_step": cs,
+        "step_last": step_last,
+        "sync_last": sync_last,
+        "last_cv": cv_out.astype(CV_DTYPE),
+    }
+    return new_state, (cv_out.astype(CV_DTYPE), gate_out, sync_out)
+
+
+_grid_nin, _grid_inlabels = const_ports(2, ("Step", "Sync"))
+_grid_nout, _grid_outlabels = const_ports(3, ("CV", "Gate", "Sync"))
+
+GRID_SEQUENCER = ModuleDef(
+    type_name="Grid Sequencer",
+    make=_grid_make,
+    num_inputs=_grid_nin,
+    num_outputs=_grid_nout,
+    input_labels=_grid_inlabels,
+    output_labels=_grid_outlabels,
+    init_state=_grid_init_state,
+    step=_grid_step,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pattern sequencer
+# ---------------------------------------------------------------------------
+
+N_ROWS = 8
+
+
+def _coerce_pattern(pattern):
+    """[[None|True|False]*steps]*8 -> cells[8,64] with 0/1/2 encoding."""
+    cells = np.zeros((N_ROWS, MAX_STEPS), dtype=np.int32)
+    if pattern is not None:
+        if len(pattern) > N_ROWS:
+            raise ValueError(f"pattern has more than {N_ROWS} rows")
+        for r, row in enumerate(pattern):
+            if len(row) > MAX_STEPS:
+                raise ValueError(f"pattern longer than {MAX_STEPS}")
+            for i, val in enumerate(row):
+                if val is None:
+                    continue
+                cells[r, i] = 2 if val else 1
+    return cells
+
+
+def _pat_make(cfg: AudioConfig, pattern=None, n_steps: int = 64):
+    params = {
+        "cells": jnp.asarray(_coerce_pattern(pattern)),
+        "n_steps": jnp.asarray(int(n_steps), dtype=jnp.int32),
+    }
+    return ("patseq", N_ROWS), params
+
+
+def _pat_init_state(cfg: AudioConfig, statics):
+    return {
+        "current_step": jnp.asarray(0, dtype=jnp.int32),
+        "step_last": transition_init(),
+        "sync_last": transition_init(),
+    }
+
+
+def _pat_step(cfg: AudioConfig, statics, params, state, ins, x=None):
+    step_in = in_or(ins[0], 0.0)
+    sync_in = in_or(ins[1], 0.0)
+    cs, step_last, sync_last = _advance_step(state, step_in, sync_in,
+                                             params["n_steps"])
+    col = params["cells"][:, cs]  # [8]
+    gates = jnp.where(col == 2, cv(1.0), jnp.where(col == 1, step_in, cv(0.0)))
+    sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
+    new_state = {
+        "current_step": cs,
+        "step_last": step_last,
+        "sync_last": sync_last,
+    }
+    outs = tuple(gates[r] for r in range(N_ROWS)) + (sync_out,)
+    return new_state, outs
+
+
+_pat_nin, _pat_inlabels = const_ports(2, ("Step", "Sync"))
+_pat_nout, _pat_outlabels = const_ports(
+    N_ROWS + 1, tuple(str(i) for i in range(N_ROWS)) + ("Sync",))
+
+PATTERN_SEQUENCER = ModuleDef(
+    type_name="Pattern Sequencer",
+    make=_pat_make,
+    num_inputs=_pat_nin,
+    num_outputs=_pat_nout,
+    input_labels=_pat_inlabels,
+    output_labels=_pat_outlabels,
+    init_state=_pat_init_state,
+    step=_pat_step,
+)

@@ -1,0 +1,57 @@
+"""Small shared DSP primitives.
+
+Functional counterparts of the reference's carried-state helpers, usable both
+per-sample (inside ``lax.scan`` bodies) and block-wise (on whole [T] arrays).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def transition(last_above: jnp.ndarray, val: jnp.ndarray):
+    """Rising-edge detector.
+
+    Functional form of the reference's ``TransitionDetector``
+    (src/synth.rs:277-298): fires when the value rises above 0.0 from <= 0.0.
+    ``last_above`` initialises to True so a high signal at t=0 does NOT fire
+    (src/synth.rs:282-284).
+
+    Returns ``(new_last_above, fired)``.
+    """
+    above = val > 0.0
+    fired = jnp.logical_and(above, jnp.logical_not(last_above))
+    return above, fired
+
+
+def transition_init() -> jnp.ndarray:
+    return jnp.asarray(True)
+
+
+def block_transitions(last_above: jnp.ndarray, vals: jnp.ndarray):
+    """Vectorised edge detection over a [T] block.
+
+    Returns ``(new_last_above, fired[T])`` -- equivalent to folding
+    :func:`transition` over the block, computed with one shift instead of a
+    scan (the per-sample recurrence ``last = above`` has no feedback).
+    """
+    above = vals > 0.0
+    prev = jnp.concatenate([last_above[None].astype(above.dtype), above[:-1]])
+    fired = jnp.logical_and(above, jnp.logical_not(prev))
+    return above[-1], fired
+
+
+def poly_blep(t: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
+    """polyBLEP band-limiting correction.
+
+    Same piecewise polynomial as the reference (src/synth/oscillator.rs:50-67,
+    itself adapted from the public polyBLEP formulation): a 2-sample smoothing
+    of the discontinuity at phase 0 with quadratic segments.  Branchless here
+    (``where`` chains) so it vectorises over samples and voices.
+    """
+    lo = t / dt
+    lo_val = lo + lo - lo * lo - 1.0
+    hi = (t - 1.0) / dt
+    hi_val = hi * hi + hi + hi + 1.0
+    out = jnp.where(t < dt, lo_val, jnp.where(t > 1.0 - dt, hi_val, 0.0))
+    return jnp.where(dt == 0.0, jnp.zeros_like(out), out)

@@ -1,0 +1,128 @@
+"""Differentiable sound-matching trainer.
+
+Fits a patch's parameters to target audio by gradient descent through the
+fully-fused render program -- the "training step" of this framework.  Scales
+over a device mesh with data parallelism on the voice/target batch axis;
+gradients of shared parameters reduce over the mesh (XLA inserts the psum).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..compiler import CompiledPatch, compile_patch
+from ..patch import Patch
+from .losses import multiscale_spectral_loss, waveform_l2
+
+
+@dataclasses.dataclass
+class SoundMatcher:
+    """Optimises (a subset of) patch params against target audio.
+
+    ``trainable``: predicate (module_id, param_name) -> bool choosing which
+    leaves receive gradients (default: every float param).
+    """
+
+    patch: Patch
+    n_samples: int
+    loss_fn: Callable = multiscale_spectral_loss
+    optimizer: optax.GradientTransformation = None
+    trainable: Optional[Callable[[str, str], bool]] = None
+
+    def __post_init__(self):
+        self.compiled: CompiledPatch = compile_patch(self.patch)
+        if self.optimizer is None:
+            self.optimizer = optax.adam(1e-2)
+        self._train_step = jax.jit(self._step_impl)
+
+    def _split(self, params):
+        # every module id appears in both trees (possibly empty) so the
+        # merged params pytree always has the full structure
+        train = {mid: {} for mid in params}
+        frozen = {mid: {} for mid in params}
+        for mid, pd in params.items():
+            for name, leaf in pd.items():
+                is_float = jnp.issubdtype(leaf.dtype, jnp.floating)
+                ok = is_float if self.trainable is None else (
+                    is_float and self.trainable(mid, name))
+                (train if ok else frozen).setdefault(mid, {})[name] = leaf
+        return train, frozen
+
+    @staticmethod
+    def _merge(train, frozen):
+        out = {mid: {} for mid in frozen}
+        for src in (frozen, train):
+            for mid, pd in src.items():
+                out.setdefault(mid, {}).update(pd)
+        return out
+
+    def init(self, params: Optional[dict] = None):
+        if params is None:
+            params = self.compiled.default_params
+        train, frozen = self._split(params)
+        return {"train": train, "frozen": frozen,
+                "opt": self.optimizer.init(train)}
+
+    def _render(self, params, key, drivers):
+        audio, _, _ = self.compiled.render(
+            self.n_samples, params=params, key=key, drivers=drivers)
+        return audio
+
+    def _step_impl(self, ts, target, key, drivers):
+        def loss_of(train):
+            params = self._merge(train, ts["frozen"])
+            audio = self._render(params, key, drivers)
+            return self.loss_fn(audio, target)
+
+        loss, grads = jax.value_and_grad(loss_of)(ts["train"])
+        updates, opt_state = self.optimizer.update(grads, ts["opt"],
+                                                  ts["train"])
+        train = optax.apply_updates(ts["train"], updates)
+        return {"train": train, "frozen": ts["frozen"], "opt": opt_state}, loss
+
+    def step(self, train_state, target, key=None, drivers=None):
+        """One optimisation step.  Returns (new_state, loss)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        elif isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        return self._train_step(train_state, target, key, drivers or {})
+
+    def params(self, train_state) -> dict:
+        return self._merge(train_state["train"], train_state["frozen"])
+
+
+def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
+                       loss_fn: Callable = waveform_l2):
+    """A jittable *batched* training step for mesh execution.
+
+    Shared (replicated) trainable params, a batch of targets + noise keys
+    sharded over the mesh: ``fn(train_params, frozen_params, opt_state,
+    targets[V,C,n], keys[V,2]) -> (train_params, opt_state, loss)``.
+    The per-voice losses mean-reduce, so the gradient all-reduce over the
+    mesh is inserted by XLA -- no hand-written collectives.
+    """
+
+    def render_one(params, key):
+        state = compiled.init_state()
+        audio, _, _ = compiled._get_fn(n_samples, batched=False)(
+            params, state, key, {})
+        return audio
+
+    def step(train, frozen, opt_state, targets, keys):
+        def loss_of(train):
+            params = SoundMatcher._merge(train, frozen)
+            audio = jax.vmap(render_one, in_axes=(None, 0))(params, keys)
+            return jax.vmap(loss_fn)(audio, targets).mean()
+
+        loss, grads = jax.value_and_grad(loss_of)(train)
+        updates, opt_state = optimizer.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return train, opt_state, loss
+
+    return step

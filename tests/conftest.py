@@ -1,0 +1,19 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (multi-chip sharding paths are
+validated on a host mesh; real-TPU execution is exercised by bench.py), and
+with x64 enabled so the ``exact`` precision mode can mirror the reference's
+f64 oscillator phase / f64 freeverb core.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
