@@ -217,17 +217,33 @@ class CompiledPatch:
             run = jax.vmap(run, in_axes=(0, 0, 0, 0))
         return run
 
-    def _get_fn(self, n: int, batched: bool):
-        cache_key = (n, batched)
+    def fused_eligible(self) -> bool:
+        """True when the patch can run on the fused Pallas voice kernel."""
+        from .ops import fused
+        return fused.eligible(self)
+
+    def _get_fn(self, n: int, batched: bool, engine: str = "scan"):
+        cache_key = (n, batched, engine)
         fn = self._fn_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(self.make_render_fn(n, batched))
+            if engine == "fused":
+                from .ops import fused
+                if not batched:
+                    raise ValueError("fused engine requires batched render")
+                if not fused.eligible(self):
+                    raise ValueError(
+                        "patch not eligible for the fused kernel (needs fast "
+                        "precision, per-sample feedback, no probes, and only "
+                        f"register-friendly modules: {sorted(fused.REGISTER_TYPES)})")
+                fn = jax.jit(fused.make_fused_render(self, n))
+            else:
+                fn = jax.jit(self.make_render_fn(n, batched))
             self._fn_cache[cache_key] = fn
         return fn
 
     def render(self, n_samples: int, *, params: Optional[dict] = None,
                state: Optional[dict] = None, key=None, drivers=None,
-               batched: bool = False):
+               batched: bool = False, engine: str = "auto"):
         """Render ``n_samples``.
 
         Returns ``(audio, probes, final_state)`` where audio is
@@ -235,7 +251,15 @@ class CompiledPatch:
         state back in to continue a render seamlessly -- module state carries
         across calls exactly as the reference's module fields persist across
         ``calc`` ticks (SURVEY.md §5 long-context).
+
+        ``engine``: ``"scan"`` (fused lax.scan, runs everywhere),
+        ``"fused"`` (Pallas voice kernel, TPU + batched + register-friendly
+        patches only), or ``"auto"`` (fused when eligible on TPU).
         """
+        if engine == "auto":
+            use_fused = (batched and self.fused_eligible()
+                         and jax.default_backend() == "tpu")
+            engine = "fused" if use_fused else "scan"
         if params is None:
             params = self.default_params
         if state is None:
@@ -257,7 +281,7 @@ class CompiledPatch:
             for module, arr in drivers.items():
                 mid = module.id if isinstance(module, ModuleHandle) else module
                 drv[mid] = arr
-        fn = self._get_fn(int(n_samples), batched)
+        fn = self._get_fn(int(n_samples), batched, engine)
         return fn(params, state, key, drv)
 
 

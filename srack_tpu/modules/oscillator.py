@@ -26,10 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import poly_blep, transition, transition_init
+from ..ops.basic import (delta_to_fixed, phase_fixed_init,
+                         phase_fixed_to_float, poly_blep, transition,
+                         transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
-
-_TWO32 = 4294967296.0  # 2**32
 
 
 def _osc_make(cfg: AudioConfig, val: float = 0.0, antialiasing: bool = True):
@@ -42,7 +42,7 @@ def _osc_init_state(cfg: AudioConfig, statics):
     if cfg.exact:
         pos = jnp.asarray(0.0, dtype=jnp.float64)
     else:
-        pos = jnp.asarray(0, dtype=jnp.uint32)
+        pos = phase_fixed_init()
     return {"pos": pos, "sync_last": transition_init()}
 
 
@@ -60,13 +60,11 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
         pos_f = pos
         new_pos = jnp.mod(pos + delta, 1.0)
     else:
-        pos_u = jnp.where(fired, jnp.uint32(0), state["pos"])
+        pos_i = jnp.where(fired, jnp.int32(0), state["pos"])
         octs = params["val"] if cv_in is None else cv_in + params["val"]
         delta = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
-        # wrap to [0,1) then to u32 fixed point; integer add wraps mod 2^32
-        delta_u = (jnp.mod(delta, 1.0) * _TWO32).astype(jnp.uint32)
-        pos_f = pos_u.astype(CV_DTYPE) * (1.0 / _TWO32)
-        new_pos = pos_u + delta_u
+        pos_f = phase_fixed_to_float(pos_i)
+        new_pos = pos_i + delta_to_fixed(delta)  # wraps exactly mod 2^32
 
     two_pi = 2.0 * jnp.pi
     sine = jnp.sin(pos_f * two_pi).astype(CV_DTYPE)

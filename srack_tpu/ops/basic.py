@@ -41,6 +41,35 @@ def block_transitions(last_above: jnp.ndarray, vals: jnp.ndarray):
     return above[-1], fired
 
 
+_TWO32 = 4294967296.0  # 2**32
+
+
+def phase_fixed_init():
+    """Fixed-point phase accumulator (fast mode): int32 whose *bit pattern*
+    is a uint32 fraction of a cycle (1 ulp = 2^-32).  Two's-complement adds
+    wrap exactly mod 2^32, so long renders never drift -- and int32 is used
+    (not uint32) because Mosaic/TPU lacks f32<->u32 casts."""
+    return jnp.asarray(0, dtype=jnp.int32)
+
+
+def phase_fixed_to_float(pos: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pattern uint32 fraction -> f32 phase in [0, 1)."""
+    f = pos.astype(jnp.float32) * (1.0 / _TWO32)
+    return jnp.where(f < 0.0, f + 1.0, f)
+
+
+def delta_to_fixed(delta: jnp.ndarray) -> jnp.ndarray:
+    """f32 per-sample phase increment (cycles) -> fixed-point int32.
+
+    ``delta`` is wrapped to [0,1) first; the two branches keep the f32->i32
+    conversion in range (values >= 2^31 are represented by their wrapped
+    negative bit pattern)."""
+    d = jnp.mod(delta, 1.0)
+    u = d * _TWO32
+    return jnp.where(d < 0.5, u.astype(jnp.int32),
+                     (u - _TWO32).astype(jnp.int32))
+
+
 def poly_blep(t: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
     """polyBLEP band-limiting correction.
 

@@ -1,0 +1,226 @@
+"""Fused Pallas voice kernel: the whole patch per-sample step in VMEM.
+
+The scan engine (compiler.py) is correct everywhere but pays XLA's
+per-iteration loop/dispatch overhead 48,000 times a second; measured on a
+v5e that caps out around 1.2 G samples/s.  This kernel removes the
+bottleneck for "register-friendly" patches (oscillators, filters,
+envelopes, VCAs, mixers, math -- i.e. BASELINE configs 1/2/4/5):
+
+* voices live on the VPU lanes: every per-voice scalar is an (8, 128)
+  vector register tile (1024 voices per grid step);
+* the sample loop runs *inside* the kernel (``fori_loop``), so per-sample
+  cost is raw VPU work -- module state never leaves registers between
+  samples, with zero HBM traffic except hoisted noise/driver lanes in and
+  rendered audio out;
+* module state persists across time chunks in VMEM scratch (grid is
+  (voice_tiles, time_chunks), scratch carries tile state between chunks);
+* it is *the same module code*: the kernel body calls the compiler's
+  ``_sample_step`` -- module ``step`` functions are shape-polymorphic jnp,
+  so the "scalars" are simply (8, 128) tiles inside Pallas.
+
+Layout: a batched leaf ``[V, *rest]`` becomes ``[*rest, V_tiles, 8, 128]``
+(voice axis innermost so elementwise ops vectorise); bool state is carried
+as int32 (VMEM has no bools).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..modules.base import CV_DTYPE
+
+LANES = 128
+SUBLANES = 8
+TILE_VOICES = LANES * SUBLANES  # 1024
+
+# module types whose per-sample step is pure register math (no per-voice
+# table gathers, no ragged delay lines)
+REGISTER_TYPES = frozenset({
+    "Oscillator", "Noise", "Input", "Moog Filter", "ADSR", "VCA",
+    "Mono Mixer", "Add", "Subtract", "Multiply", "Non-Linear", "Output",
+})
+
+
+def eligible(compiled) -> bool:
+    """Can this compiled patch run on the fused kernel?"""
+    if compiled.cfg.exact or compiled.cfg.buffer_feedback or compiled.probes:
+        return False
+    return all(mdef.type_name in REGISTER_TYPES
+               for mdef, _, _ in compiled.instances.values())
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _to_tiles(leaf, v, vp):
+    """[V, *rest] -> [*rest, V_tiles, 8, 128] (+ bool -> int32)."""
+    if leaf.dtype == jnp.bool_:
+        leaf = leaf.astype(jnp.int32)
+    rest = leaf.shape[1:]
+    if vp != v:
+        leaf = jnp.concatenate(
+            [leaf, jnp.zeros((vp - v,) + rest, leaf.dtype)], axis=0)
+    # [Vp, *rest] -> [*rest, Vp] -> [*rest, tiles, 8, 128]
+    leaf = jnp.moveaxis(leaf, 0, -1)
+    return leaf.reshape(rest + (vp // TILE_VOICES, SUBLANES, LANES))
+
+
+def _from_tiles(leaf, v, dtype):
+    """Inverse of :func:`_to_tiles`."""
+    rest = leaf.shape[:-3]
+    vp = leaf.shape[-3] * TILE_VOICES
+    leaf = leaf.reshape(rest + (vp,))
+    leaf = jnp.moveaxis(leaf, -1, 0)[:v]
+    return leaf.astype(dtype)
+
+
+def make_fused_render(compiled, n: int, t_chunk: int = 512):
+    """Build the fused batched render fn for ``compiled`` over ``n`` samples.
+
+    Returned callable matches ``make_render_fn(n, batched=True)``:
+    ``(params, state, keys, drivers) -> (audio[V,C,n], {}, final_state)``.
+    """
+    cfg = compiled.cfg
+    np_ = _ceil_to(n, t_chunk)
+    n_chunks = np_ // t_chunk
+    n_channels = cfg.channels
+    xs_mids = compiled.xs_modules
+
+    def run(params, state, keys, drivers):
+        v = jax.tree.leaves(params)[0].shape[0]
+        vp = _ceil_to(max(v, 1), TILE_VOICES)
+        n_tiles = vp // TILE_VOICES
+
+        # hoisted per-sample lanes (noise, drivers), padded to np_
+        def one_xs(p, k):
+            return compiled._make_xs(p, k, n, drivers={})
+        xs = jax.vmap(one_xs)(params, keys)  # {mid: [V, n]}
+        for mid_h, arr in (drivers or {}).items():
+            xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
+        if np_ != n:
+            xs = {m: jnp.pad(a, ((0, 0), (0, np_ - n))) for m, a in xs.items()}
+        # [V, T] -> [T, tiles, 8, 128] (rest dims first, voice tiles last)
+        xs_t = {m: _to_tiles(a, v, vp) for m, a in xs.items()}
+
+        params_leaves, params_def = jax.tree.flatten(params)
+        state_leaves, state_def = jax.tree.flatten(state)
+        p_dtypes = [l.dtype for l in params_leaves]
+        s_dtypes = [l.dtype for l in state_leaves]
+        p_tiled = [_to_tiles(l, v, vp) for l in params_leaves]
+        s_tiled = [_to_tiles(l, v, vp) for l in state_leaves]
+        xs_keys = sorted(xs_t)
+        xs_tiled = [xs_t[m] for m in xs_keys]
+
+        n_p, n_s, n_x = len(p_tiled), len(s_tiled), len(xs_tiled)
+
+        def kernel(*refs):
+            p_refs = refs[:n_p]
+            s_refs = refs[n_p:n_p + n_s]
+            x_refs = refs[n_p + n_s:n_p + n_s + n_x]
+            audio_refs = refs[n_p + n_s + n_x:n_p + n_s + n_x + n_channels]
+            sout_refs = refs[n_p + n_s + n_x + n_channels:
+                             n_p + n_s + n_x + n_channels + n_s]
+            scratches = refs[n_p + n_s + n_x + n_channels + n_s:]
+
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                for sc, sr in zip(scratches, s_refs):
+                    sc[...] = sr[...].reshape(sc.shape)
+
+            def squeeze_tile(x):
+                # [*rest, 1, 8, 128] -> [*rest, 8, 128]
+                return x.reshape(x.shape[:-3] + (SUBLANES, LANES))
+
+            p_vals = [squeeze_tile(r[...]).astype(d)
+                      for r, d in zip(p_refs, p_dtypes)]
+            params_k = jax.tree.unflatten(params_def, p_vals)
+
+            # loop carries stay int32-or-wider (bool i1 vectors fail to
+            # legalize in Mosaic's scf.for); cast at each iteration edge
+            carry0 = tuple(sc[...] for sc in scratches)
+            tile = (SUBLANES, LANES)
+
+            def body(i, carry):
+                vals = [c.astype(d) if d == jnp.bool_ else c
+                        for c, d in zip(carry, s_dtypes)]
+                st = jax.tree.unflatten(state_def, vals)
+                x_t = {m: x_refs[j][i, 0] for j, m in enumerate(xs_keys)}
+                new_states, fb_out, audio, _ = compiled._sample_step(
+                    params_k, st["states"], st["fb"], x_t)
+                for c in range(n_channels):
+                    audio_refs[c][i, 0] = audio[c]
+                new_state = {"states": new_states, "fb": fb_out}
+                # a state leaf fed by an unconnected (constant) input can
+                # collapse to a scalar; broadcast back to the lane tile,
+                # and store bools as int32
+                out = []
+                for leaf, ref in zip(jax.tree.leaves(new_state), carry):
+                    leaf = jnp.broadcast_to(leaf, ref.shape)
+                    out.append(leaf.astype(ref.dtype))
+                return tuple(out)
+
+            carry = jax.lax.fori_loop(0, t_chunk, body, carry0)
+            for sc, val, sr in zip(scratches, carry, sout_refs):
+                sc[...] = val.reshape(sc.shape)
+                sr[...] = sc[...].reshape(sr.shape)
+
+        def tile_spec(leaf):
+            rest = leaf.shape[:-3]
+            block = rest + (1, SUBLANES, LANES)
+            zeros = (0,) * len(rest)
+            return pl.BlockSpec(
+                block, lambda vtile, t, z=zeros: z + (vtile, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        def xs_spec(leaf):
+            return pl.BlockSpec(
+                (t_chunk, 1, SUBLANES, LANES),
+                lambda vtile, t: (t, vtile, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        audio_spec = pl.BlockSpec(
+            (t_chunk, 1, SUBLANES, LANES),
+            lambda vtile, t: (t, vtile, 0, 0),
+            memory_space=pltpu.VMEM)
+
+        in_specs = ([tile_spec(l) for l in p_tiled]
+                    + [tile_spec(l) for l in s_tiled]
+                    + [xs_spec(l) for l in xs_tiled])
+        out_specs = ([audio_spec] * n_channels
+                     + [tile_spec(l) for l in s_tiled])
+        out_shape = (
+            [jax.ShapeDtypeStruct((np_, n_tiles, SUBLANES, LANES), CV_DTYPE)
+             for _ in range(n_channels)]
+            + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in s_tiled])
+        scratch_shapes = [
+            pltpu.VMEM(l.shape[:-3] + (SUBLANES, LANES), l.dtype)
+            for l in s_tiled]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_chunks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(*p_tiled, *s_tiled, *xs_tiled)
+
+        audio_t = outs[:n_channels]
+        s_out = outs[n_channels:]
+        # [T, tiles, 8, 128] -> [V, T] -> trim padding
+        chans = [_from_tiles(a, v, CV_DTYPE)[:, :n] for a in audio_t]
+        audio = jnp.stack(chans, axis=1)
+        final_leaves = [_from_tiles(l, v, d)
+                        for l, d in zip(s_out, s_dtypes)]
+        final_state = jax.tree.unflatten(state_def, final_leaves)
+        return audio, {}, final_state
+
+    return run
