@@ -30,6 +30,7 @@ from .engine import (
     replicate_params,
 )
 from .modules import CATALOG
+from . import io, utils, parallel, presets
 
 __version__ = "0.1.0"
 

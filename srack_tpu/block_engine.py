@@ -1,0 +1,371 @@
+"""Stage-partition block engine.
+
+The scan engine runs the *whole* graph once per sample; the fused kernel
+(ops/fused.py) removes XLA loop overhead but still walks the full module
+chain serially 48,000 times a second -- at 1k voices it is latency-bound on
+the per-sample dependency chain.  This engine shrinks the serial region to
+its true minimum:
+
+1. **Classify.**  A module is *serial* if its per-sample recurrence has no
+   closed-form parallel scan (Moog ladder, ADSR, Sample, Freeverb) or if it
+   sits on a feedback cycle (every cycle member needs per-sample state --
+   including block-capable modules like the cross-FM Multiply).  Everything
+   else is *block-capable*: elementwise (Math, VCA, Mixer, Output, ...) or
+   prefix-sum parallel (oscillator phase = segmented cumsum; sequencer step
+   pointer = segmented edge count).
+
+2. **Partition.**  With S the serial set: ``pre`` = modules with no path
+   from S (computable up front, whole-block), ``middle`` = block modules
+   sandwiched between serial modules (must run per-sample), ``post`` = the
+   rest.  The serial *stage* = S ∪ middle in plan order.
+
+3. **Execute.**  ``pre`` runs as [n]-vectorised XLA ops (vmapped over
+   voices -- huge fusable tensors, VPU throughput-bound); the stage runs
+   per-sample over streamed input wires -- on TPU in the generic Pallas
+   serial kernel (ops/serial_kernel.py), elsewhere as a lax.scan; ``post``
+   runs block-wise on the stage's output wires.
+
+For the flagship subtractive voice this cuts the per-sample critical path
+from the whole graph (~150 ops) to ADSR + ladder (~50), which is what the
+BASELINE headline number is made of.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import AudioConfig
+from .modules.base import CV_DTYPE
+from .ops import serial_kernel
+
+# module types whose per-sample recurrence cannot be expressed as a
+# parallel prefix operation
+SERIAL_TYPES = frozenset({"Moog Filter", "ADSR", "Sample", "Freeverb"})
+
+# serial-stage types safe for the Pallas kernel (pure register math)
+PALLAS_SAFE = frozenset({
+    "Oscillator", "Noise", "Input", "Moog Filter", "ADSR", "VCA",
+    "Mono Mixer", "Add", "Subtract", "Multiply", "Non-Linear", "Output",
+})
+
+
+def _sccs(nodes, deps):
+    """Tarjan strongly-connected components (iterative)."""
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    result = []
+    counter = [0]
+
+    for start in nodes:
+        if start in index:
+            continue
+        work = [(start, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter[0]
+                counter[0] += 1
+                stack.append(node)
+                on_stack.add(node)
+            recurse = False
+            succs = deps[node]
+            for i in range(pi, len(succs)):
+                s = succs[i]
+                if s not in index:
+                    work[-1] = (node, i + 1)
+                    work.append((s, 0))
+                    recurse = True
+                    break
+                elif s in on_stack:
+                    low[node] = min(low[node], index[s])
+            if recurse:
+                continue
+            work.pop()
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                result.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+    return result
+
+
+class BlockProgram:
+    """The partitioned execution plan for one compiled patch."""
+
+    def __init__(self, compiled):
+        self.compiled = compiled
+        self.cfg: AudioConfig = compiled.cfg
+        insts = compiled.instances
+        plan = compiled.plan
+
+        deps = {mid: [c[0] for c in insts[mid][2] if c is not None]
+                for mid in insts}
+        consumers = {mid: [] for mid in insts}
+        for mid, ds in deps.items():
+            for d in ds:
+                consumers[d].append(mid)
+
+        serial = {mid for mid, (mdef, _, _) in insts.items()
+                  if mdef.type_name in SERIAL_TYPES}
+        # feedback cycles force per-sample execution for all members
+        for comp in _sccs(list(insts), deps):
+            if len(comp) > 1 or comp[0] in deps[comp[0]]:
+                serial.update(comp)
+        # block-capable only with a block impl or empty state (elementwise)
+        for mid, (mdef, statics, _) in insts.items():
+            if mid in serial:
+                continue
+            has_block = mdef.block is not None
+            stateless = not mdef.init_state(self.cfg, statics)
+            if not (has_block or stateless):
+                serial.add(mid)
+
+        def reach(seed, adj):
+            seen = set(seed)
+            frontier = list(seed)
+            while frontier:
+                m = frontier.pop()
+                for s in adj[m]:
+                    if s not in seen:
+                        seen.add(s)
+                        frontier.append(s)
+            return seen
+
+        desc = reach(serial, consumers)   # depend on serial (incl. serial)
+        anc = reach(serial, deps)         # serial depends on them
+        self.stage_set = serial | ((desc & anc) - serial)
+        self.pre_plan = [m for m in plan if m not in desc]
+        self.stage_plan = [m for m in plan if m in self.stage_set]
+        self.post_plan = [m for m in plan
+                          if m in desc and m not in self.stage_set]
+
+        pre_set = set(self.pre_plan)
+        self.stage_in = sorted({
+            c for mid in self.stage_plan for c in insts[mid][2]
+            if c is not None and c[0] in pre_set})
+        self.stage_out = sorted({
+            c for mid in self.post_plan for c in insts[mid][2]
+            if c is not None and c[0] in self.stage_set})
+
+        self.pallas_ok = all(
+            insts[mid][0].type_name in PALLAS_SAFE for mid in self.stage_plan
+        ) and not self.cfg.exact
+
+    # -- block phases --------------------------------------------------------
+
+    def _run_block_phase(self, plan_subset, params, states, values, xs, n):
+        """Run block-capable modules over whole [n] wires (unbatched)."""
+        cfg = self.cfg
+        insts = self.compiled.instances
+        new_states = {}
+        channels = None
+        for mid in plan_subset:
+            mdef, statics, inputs = insts[mid]
+            ins = [None if c is None else values[c] for c in inputs]
+            x = xs.get(mid)
+            if mdef.block is not None:
+                new_state, outs = mdef.block(
+                    cfg, statics, params[mid], states[mid], ins, x, n)
+            else:
+                new_state, outs = mdef.step(
+                    cfg, statics, params[mid], states[mid], ins, x)
+                outs = tuple(jnp.broadcast_to(o, (n,)).astype(o.dtype)
+                             for o in outs)
+            new_states[mid] = new_state
+            for p, o in enumerate(outs):
+                values[(mid, p)] = o
+            if mid == self.compiled.output_id:
+                channels = outs
+        return new_states, channels
+
+    # -- serial stage --------------------------------------------------------
+
+    def _stage_step(self, params, states, fb, ext):
+        """One sample through the serial stage.  ``ext``: {(src,port): val}."""
+        cfg = self.cfg
+        insts = self.compiled.instances
+        plan_pos = self.compiled.plan_pos
+        values = dict(ext)
+        new_states = {}
+        channels = None
+        for mid in self.stage_plan:
+            mdef, statics, inputs = insts[mid]
+            ins = []
+            for c in inputs:
+                if c is None:
+                    ins.append(None)
+                elif c[0] in self.stage_set and plan_pos[c[0]] >= plan_pos[mid]:
+                    ins.append(fb[c])
+                else:
+                    ins.append(values[c])
+            new_state, outs = mdef.step(
+                cfg, statics, params[mid], states[mid], ins, None)
+            new_states[mid] = new_state
+            for p, o in enumerate(outs):
+                values[(mid, p)] = o
+            if mid == self.compiled.output_id:
+                channels = outs
+        fb_out = {k: values[k] for k in fb}
+        outs = {w: values[w] for w in self.stage_out}
+        return new_states, fb_out, outs, channels
+
+    def _stage_fb_keys(self):
+        plan_pos = self.compiled.plan_pos
+        keys = []
+        for mid in self.stage_plan:
+            for c in self.compiled.instances[mid][2]:
+                if (c is not None and c[0] in self.stage_set
+                        and plan_pos[c[0]] >= plan_pos[mid]):
+                    keys.append((c, mid))
+        return sorted({c for c, _ in keys})
+
+    # -- full program --------------------------------------------------------
+
+    def make_run(self, n: int, t_chunk: Optional[int] = None):
+        """Build ``run(params, state, key, drivers) -> (audio, {}, state)``
+        over a leading voice axis (batched)."""
+        if t_chunk is None:
+            # size the kernel's streamed-wire chunks so double-buffered
+            # in/out lanes fit comfortably in 16 MB VMEM
+            n_streams = max(1, len(self.stage_in) + len(self.stage_out))
+            budget = 10 * 1024 * 1024
+            per_t = n_streams * serial_kernel.TILE_VOICES * 4 * 2
+            t_chunk = max(64, min(512, (budget // per_t) // 8 * 8))
+        compiled = self.compiled
+        cfg = self.cfg
+        n_channels = cfg.channels
+        stage_has_output = compiled.output_id in self.stage_set
+        fb_keys = tuple(sorted(compiled.fb_keys))
+        stage_out_keys = list(self.stage_out)
+        if stage_has_output:
+            raise NotImplementedError(
+                "Output module inside a feedback cycle is not supported by "
+                "the block engine")
+
+        def pre_fn(params, states, xs):
+            values: dict = {}
+            new_states, channels = self._run_block_phase(
+                self.pre_plan, params, states, values, xs, n)
+            wires = {w: values[w] for w in self.stage_in}
+            extra = {}
+            # wires consumed directly by post modules from pre
+            for mid in self.post_plan:
+                for c in compiled.instances[mid][2]:
+                    if c is not None and c in values:
+                        extra[c] = values[c]
+            return wires, extra, new_states, channels
+
+        def post_fn(params, states, wire_values, xs):
+            values = dict(wire_values)
+            new_states, channels = self._run_block_phase(
+                self.post_plan, params, states, values, xs, n)
+            return new_states, channels
+
+        use_pallas = (self.pallas_ok and self.stage_plan
+                      and jax.default_backend() == "tpu")
+
+        if self.stage_plan:
+            stage_params_ids = list(self.stage_plan)
+
+            def kernel_step(k_params, k_state, ins_dict):
+                ext = {eval_key(k): v for k, v in ins_dict.items()}
+                new_states, fb_out, outs, _ = self._stage_step(
+                    k_params, k_state["states"], k_state["fb"], ext)
+                out_lanes = {wire_key(w): outs[w] for w in stage_out_keys}
+                return {"states": new_states, "fb": fb_out}, out_lanes
+
+            def wire_key(w):
+                return f"{w[0]}#{w[1]}"
+
+            def eval_key(s):
+                mid, port = s.rsplit("#", 1)
+                return (mid, int(port))
+
+        def run(params, state, keys, drivers):
+            v = jax.tree.leaves(params)[0].shape[0]
+
+            # hoisted per-sample lanes
+            def one_xs(p, k):
+                return compiled._make_xs(p, k, n, drivers={})
+            xs = jax.vmap(one_xs)(params, keys)
+            for mid_h, arr in (drivers or {}).items():
+                xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
+
+            states = state["states"]
+            fb = state["fb"]
+
+            wires, extra, pre_states, pre_channels = jax.vmap(
+                lambda p, s, x: pre_fn(p, s, x))(params, states, xs)
+
+            if not self.stage_plan:
+                # fully block-parallel patch
+                post_states, channels = jax.vmap(
+                    lambda p, s, w, x: post_fn(p, s, w, x))(
+                        params, states, {**wires, **extra}, xs)
+                channels = pre_channels if channels is None else channels
+                audio = jnp.stack(channels, axis=1)
+                final = {"states": {**pre_states, **post_states}, "fb": fb}
+                return audio, {}, final
+
+            stage_params = {m: params[m] for m in self.stage_plan}
+            stage_states = {m: states[m] for m in self.stage_plan}
+            stage_state = {"states": stage_states, "fb": fb}
+            ins_lanes = {wire_key(w): wires[w] for w in self.stage_in}
+
+            if use_pallas:
+                kern = serial_kernel.make_serial_kernel(
+                    kernel_step, n, [wire_key(w) for w in stage_out_keys],
+                    t_chunk=t_chunk)
+                out_lanes, stage_final = kern(
+                    stage_params, stage_state, ins_lanes)
+            else:
+                def scan_one(sp, ss, lanes):
+                    def body(carry, lane_t):
+                        st, fbc = carry
+                        ext = {eval_key(k): val for k, val in lane_t.items()}
+                        ns, fo, outs, _ = self._stage_step(
+                            sp, st, fbc, ext)
+                        return (ns, fo), {wire_key(w): outs[w]
+                                          for w in stage_out_keys}
+                    lanes_t = {k: a for k, a in lanes.items()}
+                    (sf, ff), outs = jax.lax.scan(
+                        body, (ss["states"], ss["fb"]), lanes_t, length=n,
+                        unroll=4)
+                    return outs, {"states": sf, "fb": ff}
+                out_lanes, stage_final = jax.vmap(scan_one)(
+                    stage_params, stage_state, ins_lanes)
+
+            stage_wire_values = {w: out_lanes[wire_key(w)]
+                                 for w in stage_out_keys}
+
+            post_states, channels = jax.vmap(
+                lambda p, s, w, x: post_fn(p, s, w, x))(
+                    params, states,
+                    {**wires, **extra, **stage_wire_values}, xs)
+
+            channels = channels if channels is not None else pre_channels
+            audio = jnp.stack(channels, axis=1)
+            final_states = {**pre_states, **stage_final["states"],
+                            **post_states}
+            final = {"states": final_states, "fb": stage_final["fb"]}
+            return audio, {}, final
+
+        return run
+
+
+def eligible(compiled) -> bool:
+    """The block engine handles every patch the scan engine does, except
+    buffer-feedback compat mode and probe taps (those stay on scan)."""
+    return not compiled.cfg.buffer_feedback and not compiled.probes

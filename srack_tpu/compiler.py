@@ -222,6 +222,12 @@ class CompiledPatch:
         from .ops import fused
         return fused.eligible(self)
 
+    def block_program(self):
+        from . import block_engine
+        if getattr(self, "_block_prog", None) is None:
+            self._block_prog = block_engine.BlockProgram(self)
+        return self._block_prog
+
     def _get_fn(self, n: int, batched: bool, engine: str = "scan"):
         cache_key = (n, batched, engine)
         fn = self._fn_cache.get(cache_key)
@@ -236,6 +242,23 @@ class CompiledPatch:
                         "precision, per-sample feedback, no probes, and only "
                         f"register-friendly modules: {sorted(fused.REGISTER_TYPES)})")
                 fn = jax.jit(fused.make_fused_render(self, n))
+            elif engine == "block":
+                from . import block_engine
+                if not block_engine.eligible(self):
+                    raise ValueError(
+                        "patch not eligible for the block engine "
+                        "(buffer_feedback and probes need engine='scan')")
+                run_b = self.block_program().make_run(n)
+                if batched:
+                    fn = jax.jit(run_b)
+                else:
+                    def run_1(params, state, key, drivers):
+                        ex = lambda t: jax.tree.map(lambda a: a[None], t)
+                        audio, probes, final = run_b(
+                            ex(params), ex(state), key[None], ex(drivers))
+                        return (audio[0], probes,
+                                jax.tree.map(lambda a: a[0], final))
+                    fn = jax.jit(run_1)
             else:
                 fn = jax.jit(self.make_render_fn(n, batched))
             self._fn_cache[cache_key] = fn
@@ -257,9 +280,11 @@ class CompiledPatch:
         patches only), or ``"auto"`` (fused when eligible on TPU).
         """
         if engine == "auto":
-            use_fused = (batched and self.fused_eligible()
-                         and jax.default_backend() == "tpu")
-            engine = "fused" if use_fused else "scan"
+            from . import block_engine
+            if batched and block_engine.eligible(self):
+                engine = "block"
+            else:
+                engine = "scan"
         if params is None:
             params = self.default_params
         if state is None:

@@ -1,0 +1,6 @@
+from .wav import read_wav, write_wav
+from .patchfile import save_patch, load_patch, save_state, load_state
+from .srk import read_srk, write_srk
+
+__all__ = ["read_wav", "write_wav", "save_patch", "load_patch",
+           "save_state", "load_state", "read_srk", "write_srk"]

@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import (delta_to_fixed, phase_fixed_init,
-                         phase_fixed_to_float, poly_blep, transition,
-                         transition_init)
+from ..ops.basic import (block_transitions, delta_to_fixed, fast_cummax,
+                         fast_cumsum, phase_fixed_init, phase_fixed_to_float,
+                         poly_blep, transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -84,6 +84,85 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     return new_state, (sine, square, saw)
 
 
+def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+    """Whole-block oscillator: phase by (segmented) prefix sum.
+
+    The per-sample recurrence ``pos += delta; pos %= 1`` is a prefix sum; a
+    Sync reset makes it a *segmented* prefix sum (phase restarts at the
+    last rising edge).  In fast mode the int32 fixed-point representation
+    makes the cumsum exact (wrap = two's-complement overflow), so block and
+    per-sample execution agree bit-for-bit; in exact (f64) mode the
+    reassociated summation differs from the serial engine by rounding only.
+    """
+    (_, antialias) = statics
+    cv_in, sync_in = ins
+    t_idx = jnp.arange(n)
+
+    if cfg.exact:
+        val = params["val"].astype(jnp.float64)
+        octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
+        delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate
+        if cv_in is None:
+            # constant rate (LFOs, clocks): closed form, no prefix sum
+            excl = delta * t_idx
+            incl = delta * (t_idx + 1.0)
+        else:
+            incl = fast_cumsum(delta)
+            excl = incl - delta
+        delta = jnp.broadcast_to(delta, (n,))
+        if sync_in is None:
+            sync_last = state["sync_last"]
+            pos_acc = state["pos"] + excl
+            next_pos = state["pos"] + incl[-1]
+        else:
+            sync_last, fires = block_transitions(state["sync_last"], sync_in)
+            lastf = fast_cummax(jnp.where(fires, t_idx, -1))
+            pos_acc = jnp.where(lastf >= 0, excl - excl[jnp.maximum(lastf, 0)],
+                                state["pos"] + excl)
+            next_pos = pos_acc[-1] + delta[-1]
+        pos_f = jnp.mod(pos_acc, 1.0)
+        next_pos = jnp.mod(next_pos, 1.0)
+    else:
+        octs = params["val"] if cv_in is None else cv_in + params["val"]
+        delta_f = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
+        dfix = delta_to_fixed(delta_f)
+        if cv_in is None:
+            t32 = t_idx.astype(jnp.int32)
+            excl = dfix * t32  # int32 multiply wraps exactly mod 2^32
+            incl = excl + dfix
+        else:
+            incl = fast_cumsum(dfix)  # exact: int32 adds wrap mod 2^32
+            excl = incl - dfix
+        delta_f = jnp.broadcast_to(delta_f, (n,))
+        dfix = jnp.broadcast_to(dfix, (n,))
+        if sync_in is None:
+            sync_last = state["sync_last"]
+            pos_acc = state["pos"] + excl
+            next_pos = state["pos"] + incl[-1]
+        else:
+            sync_last, fires = block_transitions(state["sync_last"], sync_in)
+            lastf = fast_cummax(jnp.where(fires, t_idx, -1))
+            pos_acc = jnp.where(lastf >= 0, excl - excl[jnp.maximum(lastf, 0)],
+                                state["pos"] + excl)
+            next_pos = pos_acc[-1] + dfix[-1]
+        pos_f = phase_fixed_to_float(pos_acc)
+        delta = delta_f
+
+    sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+    naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
+    naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
+    if antialias:
+        blep0 = poly_blep(pos_f, delta)
+        blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
+        square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
+        saw = naive_saw - blep0.astype(CV_DTYPE)
+    else:
+        square, saw = naive_square, naive_saw
+
+    new_state = {"pos": next_pos, "sync_last": sync_last}
+    return new_state, (sine, square, saw)
+
+
 _osc_nin, _osc_inlabels = const_ports(2, ("CV", "Sync"))
 _osc_nout, _osc_outlabels = const_ports(3, ("Sine", "Square", "Sawtooth"))
 
@@ -96,6 +175,7 @@ OSCILLATOR = ModuleDef(
     output_labels=_osc_outlabels,
     init_state=_osc_init_state,
     step=_osc_step,
+    block=_osc_block,
 )
 
 

@@ -23,10 +23,12 @@ a gather by the carried step counter.  Cell encoding: 0 = off, 1 = slide,
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import transition, transition_init
+from ..ops.basic import (block_transitions, fast_cummax, fast_cumsum,
+                         transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 MAX_STEPS = 64
@@ -79,6 +81,53 @@ def _advance_step(state, step_in, sync_in, n_steps):
     return cs, step_last, sync_last
 
 
+def _advance_step_block(state, step_in, sync_in, n_steps, n):
+    """Vectorised step pointer over a [T] block.
+
+    The recurrence (count rising edges, reset on sync edges, wrap at
+    ``n_steps``) is a *segmented* prefix count: with +1 increments,
+    wrap-to-zero-on-reach equals ``mod n_steps``, and a sync reset restarts
+    the count at the last reset index (sequencer.rs:219-230 semantics;
+    assumes the carried step < n_steps, which the serial engine maintains).
+    """
+    step_last, step_edges = block_transitions(state["step_last"], step_in)
+    sync_last, sync_edges = block_transitions(state["sync_last"], sync_in)
+    t_idx = jnp.arange(n)
+    e_cum = fast_cumsum(step_edges.astype(jnp.int32))  # inclusive
+    last_reset = fast_cummax(jnp.where(sync_edges, t_idx, -1))
+    e_at_reset = e_cum[jnp.maximum(last_reset, 0)]
+    base = jnp.where(last_reset >= 0, e_cum - e_at_reset,
+                     state["current_step"] + e_cum)
+    cs = jnp.mod(base, n_steps)
+    return cs, step_last, sync_last
+
+
+def _grid_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+    step_in = ins[0] if ins[0] is not None else jnp.zeros((n,), CV_DTYPE)
+    sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
+    cs, step_last, sync_last = _advance_step_block(
+        state, step_in, sync_in, params["n_steps"], n)
+    cell = params["cells"][cs]
+    note = params["notes"][cs]
+    spo = params["steps_per_octave"].astype(CV_DTYPE)
+    note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
+    on = cell > 0
+    # forward-fill: empty cells hold the last emitted CV (sequencer.rs:237)
+    t_idx = jnp.arange(n)
+    last_on = fast_cummax(jnp.where(on, t_idx, -1))
+    cv_out = jnp.where(last_on >= 0, note_cv[jnp.maximum(last_on, 0)],
+                       state["last_cv"]).astype(CV_DTYPE)
+    gate_out = jnp.where(on, jnp.where(cell == 2, cv(1.0), step_in), cv(0.0))
+    sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
+    new_state = {
+        "current_step": cs[-1],
+        "step_last": step_last,
+        "sync_last": sync_last,
+        "last_cv": cv_out[-1],
+    }
+    return new_state, (cv_out, gate_out, sync_out)
+
+
 def _grid_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     step_in = in_or(ins[0], 0.0)
     sync_in = in_or(ins[1], 0.0)
@@ -113,6 +162,7 @@ GRID_SEQUENCER = ModuleDef(
     output_labels=_grid_outlabels,
     init_state=_grid_init_state,
     step=_grid_step,
+    block=_grid_block,
 )
 
 
@@ -155,6 +205,24 @@ def _pat_init_state(cfg: AudioConfig, statics):
     }
 
 
+def _pat_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+    step_in = ins[0] if ins[0] is not None else jnp.zeros((n,), CV_DTYPE)
+    sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
+    cs, step_last, sync_last = _advance_step_block(
+        state, step_in, sync_in, params["n_steps"], n)
+    cols = params["cells"][:, cs]  # [8, T]
+    gates = jnp.where(cols == 2, cv(1.0),
+                      jnp.where(cols == 1, step_in[None, :], cv(0.0)))
+    sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
+    new_state = {
+        "current_step": cs[-1],
+        "step_last": step_last,
+        "sync_last": sync_last,
+    }
+    outs = tuple(gates[r] for r in range(N_ROWS)) + (sync_out,)
+    return new_state, outs
+
+
 def _pat_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     step_in = in_or(ins[0], 0.0)
     sync_in = in_or(ins[1], 0.0)
@@ -185,4 +253,5 @@ PATTERN_SEQUENCER = ModuleDef(
     output_labels=_pat_outlabels,
     init_state=_pat_init_state,
     step=_pat_step,
+    block=_pat_block,
 )

@@ -6,6 +6,7 @@ per-sample (inside ``lax.scan`` bodies) and block-wise (on whole [T] arrays).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +43,46 @@ def block_transitions(last_above: jnp.ndarray, vals: jnp.ndarray):
 
 
 _TWO32 = 4294967296.0  # 2**32
+
+
+def _shifted(x, shift: int, axis: int, fill):
+    """x shifted ``shift`` positions along ``axis`` (front-filled)."""
+    n = x.shape[axis]
+    kept = jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)
+    pad_shape = list(x.shape)
+    pad_shape[axis] = shift
+    pad = jnp.full(pad_shape, fill, dtype=x.dtype)
+    return jnp.concatenate([pad, kept], axis=axis)
+
+
+def _log_scan(op, x, axis: int, identity):
+    """Inclusive scan by log-step doubling (Hillis-Steele).
+
+    XLA's native cumsum/cummax lower to reduce_window on TPU and are
+    catastrophically slow for long minor axes (~2 s for [1024, 48000]);
+    this runs log2(n) fused elementwise passes instead.  Exact for int
+    dtypes (associative, wrapping); for floats it reassociates the sum.
+    """
+    n = x.shape[axis]
+    shift = 1
+    while shift < n:
+        x = op(x, _shifted(x, shift, axis, identity))
+        shift <<= 1
+    return x
+
+
+def fast_cumsum(x, axis: int = -1):
+    axis = axis % x.ndim
+    return _log_scan(jnp.add, x, axis, 0)
+
+
+def fast_cummax(x, axis: int = -1):
+    axis = axis % x.ndim
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        ident = jnp.iinfo(x.dtype).min
+    else:
+        ident = -jnp.inf
+    return _log_scan(jnp.maximum, x, axis, ident)
 
 
 def phase_fixed_init():

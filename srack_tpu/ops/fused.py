@@ -78,7 +78,8 @@ def _from_tiles(leaf, v, dtype):
     return leaf.astype(dtype)
 
 
-def make_fused_render(compiled, n: int, t_chunk: int = 512):
+def make_fused_render(compiled, n: int, t_chunk: int = 512,
+                      unroll: int = 8):
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
@@ -165,7 +166,17 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512):
                     out.append(leaf.astype(ref.dtype))
                 return tuple(out)
 
-            carry = jax.lax.fori_loop(0, t_chunk, body, carry0)
+            # manual unrolling (Pallas fori_loop can't partially unroll)
+            # exposes cross-sample ILP: the transcendental-heavy oscillator
+            # work for sample t+1 overlaps the filter/envelope recurrences
+            # of sample t
+            def body_u(j, carry):
+                base = j * unroll
+                for u in range(unroll):
+                    carry = body(base + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
             for sc, val, sr in zip(scratches, carry, sout_refs):
                 sc[...] = val.reshape(sc.shape)
                 sr[...] = sc[...].reshape(sr.shape)

@@ -54,12 +54,17 @@ def _is_loop(module: str, edges: dict[str, list[str]]):
         to_search.extend(to_add)
 
 
-def plan_execution(patch: Patch):
+def plan_execution(patch: Patch, use_native: bool = True):
     """Returns ``(plan, broken)``.
 
     ``plan`` is the execution order (module ids, every module included);
     ``broken`` is the set of deleted feedback edges as (sink_id, src_id)
     pairs (the sink's dependency on src is ignored for ordering).
+
+    Uses the C++ planner (native/planner.cpp via ctypes) when available --
+    the host-side runtime analogue of the reference's native planner --
+    falling back to the pure-Python implementation below; both implement
+    identical semantics (asserted by tests on randomized graphs).
     """
     if patch.output is None:
         raise ValueError("patch has no Output module")
@@ -67,6 +72,12 @@ def plan_execution(patch: Patch):
     output = patch.output.id
 
     edges = _build_edges(patch)
+
+    if use_native:
+        from . import native
+        result = native.plan_execution_native(all_modules, edges, output)
+        if result is not None:
+            return result
     broken: set[tuple[str, str]] = set()
 
     # Phase 2: DFS from output-first, breaking cycles (synth.rs:168-192).

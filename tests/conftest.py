@@ -16,4 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU integration rewrites jax_platforms to "axon,cpu" at import,
+# ignoring the JAX_PLATFORMS env var -- force CPU via the config instead.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu"

@@ -1,0 +1,107 @@
+"""Block (stage-partition) engine tests: partition correctness and
+agreement with the scan engine on every preset."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import srack_tpu as st
+from srack_tpu import presets
+from srack_tpu.presets import farm_params
+
+CFG_KW = dict(sample_rate=4800, block_size=64, precision="exact")
+
+
+def _compare(patch, n=512, v=3, atol=5e-6):
+    compiled = st.compile_patch(patch)
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    a_scan, _, st_s = compiled.render(n, params=params, state=state,
+                                      key=keys, batched=True, engine="scan")
+    a_blk, _, st_b = compiled.render(n, params=params, state=state,
+                                     key=keys, batched=True, engine="block")
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
+                               atol=atol, rtol=0)
+    return compiled
+
+
+@pytest.mark.parametrize("name", ["sine", "subtractive", "sequencer",
+                                  "feedback", "reverb"])
+def test_block_matches_scan_presets(name):
+    channels = 2 if name == "reverb" else 1
+    cfg = st.AudioConfig(channels=channels, **CFG_KW)
+    _compare(presets.PRESETS[name](cfg))
+
+
+def test_partition_subtractive():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    compiled = st.compile_patch(presets.subtractive_voice(cfg))
+    prog = compiled.block_program()
+    types = {mid: compiled.instances[mid][0].type_name
+             for mid in compiled.instances}
+    stage_types = sorted(types[m] for m in prog.stage_plan)
+    # only the true serial cores stay per-sample
+    assert stage_types == ["ADSR", "Moog Filter"]
+    assert len(prog.pre_plan) == 4 and len(prog.post_plan) == 2
+
+
+def test_partition_pure_block():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    compiled = st.compile_patch(presets.sine_patch(cfg))
+    prog = compiled.block_program()
+    assert not prog.stage_plan  # no serial modules at all
+
+
+def test_feedback_cycle_forces_serial():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    compiled = st.compile_patch(presets.feedback_patch(cfg))
+    prog = compiled.block_program()
+    # the cross-FM oscillators and their Multiplys are all cycle members
+    assert len(prog.stage_plan) >= 4
+
+
+def test_block_engine_osc_sync():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    p = st.Patch(cfg)
+    clock = p.add("Oscillator", val=-6.0)
+    osc = p.add("Oscillator", val=-1.0)
+    lfo = p.add("Oscillator", val=-7.0)
+    depth = p.add("Multiply", constant=0.3)
+    p.connect(lfo, "Sine", depth, "In1")
+    p.connect(depth, 0, osc, "CV")       # CV-modulated (true cumsum path)
+    p.connect(clock, "Square", osc, "Sync")  # hard sync (segmented path)
+    p.connect(osc, "Sawtooth", p.output, 0)
+    _compare(p)
+
+
+def test_block_engine_state_continuity():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    p = presets.subtractive_voice(cfg)
+    compiled = st.compile_patch(p)
+    v, n = 2, 256
+    params = farm_params(p, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    full, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                 batched=True, engine="block")
+    a1, _, mid_state = compiled.render(n // 2, params=params, state=state,
+                                       key=keys, batched=True, engine="block")
+    a2, _, _ = compiled.render(n // 2, params=params, state=mid_state,
+                               key=keys, batched=True, engine="block")
+    joined = jnp.concatenate([a1, a2], axis=-1)
+    np.testing.assert_allclose(np.asarray(joined), np.asarray(full),
+                               atol=5e-6, rtol=0)
+
+
+def test_unbatched_block_render():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    p = presets.subtractive_voice(cfg)
+    compiled = st.compile_patch(p)
+    a_blk, _, _ = compiled.render(256, engine="block")
+    a_scan, _, _ = compiled.render(256, engine="scan")
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
+                               atol=5e-6, rtol=0)
