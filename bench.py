@@ -4,13 +4,15 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md north star): rendered audio samples/sec/chip
-at 48 kHz for 1,000 concurrent subtractive voices (BASELINE config 2
-topology, batched with vmap) on one chip.  Baseline target: 4.8e9
-samples/s (= 1000 voices x 100x real time x 48k).
+Headline metric (BASELINE.md north star): rendered audio samples/sec/chip —
+1,000 concurrent subtractive voices (BASELINE config 2 topology) rendering
+10 s of 48 kHz audio each on one chip, on the fused Pallas voice engine.
+Baseline target: 4.8e9 samples/s (= 1000 voices x 100x real time x 48k).
 
-Extra per-config numbers go to stderr for human eyes; stdout carries only
-the JSON line.
+Extra per-config numbers go to stderr; stdout carries only the JSON line.
+Timing forces a device fetch inside the timed region (on this transport
+``block_until_ready`` does not reliably block) and includes the full
+dispatch+fetch round trip.
 """
 
 from __future__ import annotations
@@ -33,64 +35,63 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_render(compiled, n, params, state, keys, batched, repeats=3):
-    fn = compiled._get_fn(n, batched)
-    drv = {}
+def bench_config(name, patch, n, voices, engine="auto", repeats=3):
+    compiled = st.compile_patch(patch)
+    params = farm_params(patch, voices)
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (voices,) + a.shape),
+        compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), voices)
+    fn = compiled._get_fn(n, True, engine if engine != "auto" else
+                          ("fused" if compiled.fused_eligible() else "block"))
     t0 = time.perf_counter()
-    out = fn(params, state, keys, drv)
-    jax.tree.map(lambda a: a.block_until_ready(), out[0])
+    out = fn(params, state, keys, {})
+    peak = float(jnp.abs(out[0]).max())  # forces execution + fetch
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(params, state, keys, drv)
-        jax.tree.map(lambda a: a.block_until_ready(), out[0])
+        out = fn(params, state, keys, {})
+        peak = float(jnp.abs(out[0]).max())
         best = min(best, time.perf_counter() - t0)
-    return best, compile_s
-
-
-def bench_config(name, patch, n, voices, repeats=3):
-    compiled = st.compile_patch(patch)
-    if voices == 1:
-        params = compiled.default_params
-        state = compiled.init_state()
-        keys = jax.random.PRNGKey(0)
-        batched = False
-    else:
-        params = farm_params(patch, voices)
-        state = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (voices,) + a.shape),
-            compiled.init_state())
-        keys = jax.random.split(jax.random.PRNGKey(0), voices)
-        batched = True
-    best, compile_s = time_render(compiled, n, params, state, keys, batched,
-                                  repeats)
-    total = n * voices
-    rate = total / best
+    rate = n * voices / best
     rtf = rate / patch.config.sample_rate
     log(f"[{name}] voices={voices} n={n} compile={compile_s:.1f}s "
-        f"best={best * 1e3:.1f}ms rate={rate / 1e6:.1f}M samples/s "
-        f"aggregate_rtf={rtf:.0f}x")
+        f"best={best * 1e3:.1f}ms rate={rate / 1e9:.3f}G samples/s "
+        f"aggregate_rtf={rtf:.0f}x peak={peak:.3f}")
     return rate
 
 
 def main() -> None:
+    # persistent compile cache: the headline program takes minutes to build
+    # through the remote compile service; re-runs should be instant
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/srack_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
     cfg = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                          precision="fast")
 
-    # headline: 1000 subtractive voices, 1 second of audio each
-    headline = bench_config("subtractive x1000",
-                            subtractive_voice(cfg), 48000, 1000)
+    # headline: BASELINE spec -- 1000 subtractive voices, 10 s of audio each
+    headline = bench_config("subtractive x1000 x10s",
+                            subtractive_voice(cfg), 480000, 1000)
 
-    # secondary configs (stderr only)
-    try:
-        bench_config("sine x1", sine_patch(cfg), 48000, 1)
-        bench_config("feedback x256", feedback_patch(cfg), 12000, 256)
-        bench_config("sequencer x64", sequencer_patch(cfg), 12000, 64)
-    except Exception as e:  # secondary benches must not kill the headline
-        log(f"secondary bench failed: {e!r}")
+    # secondary configs (stderr only); failures must not kill the headline
+    for name, patch, n, v in (
+        ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
+        ("feedback x1024", feedback_patch(cfg), 48000, 1024),
+        ("sequencer x1024 (block engine)", sequencer_patch(cfg), 48000, 1024),
+    ):
+        try:
+            bench_config(name, patch, n, v)
+        except Exception as e:
+            log(f"[{name}] failed: {e!r}")
 
     print(json.dumps({
         "metric": "rendered_audio_samples_per_sec_per_chip",

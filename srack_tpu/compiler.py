@@ -281,7 +281,11 @@ class CompiledPatch:
         """
         if engine == "auto":
             from . import block_engine
-            if batched and block_engine.eligible(self):
+            if (batched and self.fused_eligible()
+                    and jax.default_backend() == "tpu"):
+                # whole-patch register-resident kernel: fastest when legal
+                engine = "fused"
+            elif batched and block_engine.eligible(self):
                 engine = "block"
             else:
                 engine = "scan"
