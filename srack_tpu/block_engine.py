@@ -42,8 +42,9 @@ from .modules.base import CV_DTYPE
 from .ops import serial_kernel
 
 # module types whose per-sample recurrence cannot be expressed as a
-# parallel prefix operation
-SERIAL_TYPES = frozenset({"Moog Filter", "ADSR", "Sample", "Freeverb"})
+# parallel prefix operation (Freeverb isn't here: its delay lines make it
+# chunk-parallel, modules/freeverb.py _block)
+SERIAL_TYPES = frozenset({"Moog Filter", "ADSR", "Sample"})
 
 # serial-stage types safe for the Pallas kernel (pure register math)
 PALLAS_SAFE = frozenset({

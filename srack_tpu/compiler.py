@@ -222,6 +222,16 @@ class CompiledPatch:
         from .ops import fused
         return fused.eligible(self)
 
+    def auto_engine(self, batched: bool) -> str:
+        """Pick the fastest legal engine: fused > block > scan."""
+        from . import block_engine
+        if (batched and self.fused_eligible()
+                and jax.default_backend() == "tpu"):
+            return "fused"  # whole-patch register-resident kernel
+        if batched and block_engine.eligible(self):
+            return "block"
+        return "scan"
+
     def block_program(self):
         from . import block_engine
         if getattr(self, "_block_prog", None) is None:
@@ -280,15 +290,7 @@ class CompiledPatch:
         patches only), or ``"auto"`` (fused when eligible on TPU).
         """
         if engine == "auto":
-            from . import block_engine
-            if (batched and self.fused_eligible()
-                    and jax.default_backend() == "tpu"):
-                # whole-patch register-resident kernel: fastest when legal
-                engine = "fused"
-            elif batched and block_engine.eligible(self):
-                engine = "block"
-            else:
-                engine = "scan"
+            engine = self.auto_engine(batched)
         if params is None:
             params = self.default_params
         if state is None:

@@ -24,7 +24,7 @@ freeverb.rs:239-240) and f32 in ``fast`` mode.
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
@@ -144,6 +144,97 @@ def _step(cfg: AudioConfig, statics, params, state, ins, x=None):
     return state, (final_l, final_r)
 
 
+def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+    """Chunk-parallel Freeverb: the delay lines make the recurrence
+    *blockwise* parallel -- within a chunk no longer than the shortest
+    delay line, every comb/allpass read is at least one chunk old, so a
+    whole chunk vectorises; the only true recurrence (the comb damping
+    one-pole, freeverb crate comb.tick) is a constant-coefficient linear
+    recurrence solved with a log-doubling scan (SURVEY.md §7 step 5 /
+    hard part b).
+
+    Ring buffers are normalised to chronological order once per render
+    (one dynamic slice per line), processed as shift registers, and
+    written back with write index 0 -- state stays interchangeable with
+    the per-sample step.
+    """
+    from ..ops.basic import linear_recurrence
+
+    dt = _core_dtype(cfg)
+    cl, cr, al, ar = line_lengths(cfg.sample_rate)
+    chunk = min(min(cl), min(cr), min(al), min(ar))
+    n_chunks = -(-n // chunk)
+    npad = n_chunks * chunk
+
+    def lane(x):
+        if x is None:
+            return jnp.zeros((npad,), dt)
+        v = jnp.broadcast_to(x, (n,)).astype(dt)
+        return jnp.pad(v, (0, npad - n))
+
+    l_in = lane(ins[0])
+    r_in = lane(ins[1])
+    damp, feed, in_gain, wet1, wet2, dry = freeverb_gains(params, dt)
+
+    line_keys = ([f"cl{i}" for i in range(len(cl))]
+                 + [f"cr{i}" for i in range(len(cr))]
+                 + [f"al{i}" for i in range(len(al))]
+                 + [f"ar{i}" for i in range(len(ar))])
+
+    # ring -> chronological (hist[0] = oldest = next read)
+    hist = {}
+    for k in line_keys:
+        buf, idx = state[k], state[f"{k}_idx"]
+        hist[k] = jax.lax.dynamic_slice(
+            jnp.concatenate([buf, buf]), (idx,), (buf.shape[0],))
+    fs = {f"c{ch}{i}": state[f"c{ch}{i}_fs"]
+          for ch in "lr" for i in range(len(cl))}
+
+    def comb_chunk(h, fs0, mixed):
+        y = h[:chunk]
+        A, Y = linear_recurrence(damp, y * (1.0 - damp))
+        fs_t = A * fs0 + Y
+        w = mixed + fs_t * feed
+        return jnp.concatenate([h[chunk:], w]), fs_t[-1], y
+
+    def allpass_chunk(h, x):
+        delayed = h[:chunk]
+        out = delayed - x
+        w = x + delayed * ALLPASS_FEEDBACK
+        return jnp.concatenate([h[chunk:], w]), out
+
+    def body(carry, xch):
+        hists, fss = carry
+        lc, rc = xch
+        mixed = (lc + rc) * in_gain
+        hists = dict(hists)
+        fss = dict(fss)
+        out = {"l": jnp.zeros((chunk,), dt), "r": jnp.zeros((chunk,), dt)}
+        for ch in "lr":
+            for i in range(len(cl)):
+                k = f"c{ch}{i}"
+                hists[k], fss[k], y = comb_chunk(hists[k], fss[k], mixed)
+                out[ch] = out[ch] + y
+            for i in range(len(al)):
+                k = f"a{ch}{i}"
+                hists[k], out[ch] = allpass_chunk(hists[k], out[ch])
+        fl = (out["l"] * wet1 + out["r"] * wet2 + lc * dry).astype(CV_DTYPE)
+        fr = (out["r"] * wet1 + out["l"] * wet2 + rc * dry).astype(CV_DTYPE)
+        return (hists, fss), (fl, fr)
+
+    xs_chunks = (l_in.reshape(n_chunks, chunk), r_in.reshape(n_chunks, chunk))
+    (hists_f, fss_f), (fl, fr) = jax.lax.scan(body, (hist, fs), xs_chunks)
+
+    new_state = dict(state)
+    for k in line_keys:
+        new_state[k] = hists_f[k]
+        new_state[f"{k}_idx"] = jnp.asarray(0, jnp.int32)
+    for ch in "lr":
+        for i in range(len(cl)):
+            new_state[f"c{ch}{i}_fs"] = fss_f[f"c{ch}{i}"]
+    return new_state, (fl.reshape(-1)[:n], fr.reshape(-1)[:n])
+
+
 _nin, _inlabels = const_ports(2, ("Left", "Right"))
 _nout, _outlabels = const_ports(2, ("Left", "Right"))
 
@@ -156,4 +247,5 @@ FREEVERB = ModuleDef(
     output_labels=_outlabels,
     init_state=_init_state,
     step=_step,
+    block=_block,
 )

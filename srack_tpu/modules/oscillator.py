@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import (block_transitions, delta_to_fixed, fast_cummax,
-                         fast_cumsum, phase_fixed_init, phase_fixed_to_float,
-                         poly_blep, transition, transition_init)
+from ..ops.basic import (block_transitions, delta_to_fixed, fast_cumsum,
+                         forward_fill, phase_fixed_init,
+                         phase_fixed_to_float, poly_blep, transition,
+                         transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -116,8 +117,8 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             next_pos = state["pos"] + incl[-1]
         else:
             sync_last, fires = block_transitions(state["sync_last"], sync_in)
-            lastf = fast_cummax(jnp.where(fires, t_idx, -1))
-            pos_acc = jnp.where(lastf >= 0, excl - excl[jnp.maximum(lastf, 0)],
+            excl_at_fire, fired_yet = forward_fill(excl, fires)
+            pos_acc = jnp.where(fired_yet, excl - excl_at_fire,
                                 state["pos"] + excl)
             next_pos = pos_acc[-1] + delta[-1]
         pos_f = jnp.mod(pos_acc, 1.0)
@@ -141,8 +142,8 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             next_pos = state["pos"] + incl[-1]
         else:
             sync_last, fires = block_transitions(state["sync_last"], sync_in)
-            lastf = fast_cummax(jnp.where(fires, t_idx, -1))
-            pos_acc = jnp.where(lastf >= 0, excl - excl[jnp.maximum(lastf, 0)],
+            excl_at_fire, fired_yet = forward_fill(excl, fires)
+            pos_acc = jnp.where(fired_yet, excl - excl_at_fire,
                                 state["pos"] + excl)
             next_pos = pos_acc[-1] + dfix[-1]
         pos_f = phase_fixed_to_float(pos_acc)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_transitions, fast_cummax, fast_cumsum,
-                         transition, transition_init)
+                         forward_fill, table_lookup, transition,
+                         transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 MAX_STEPS = 64
@@ -92,11 +93,10 @@ def _advance_step_block(state, step_in, sync_in, n_steps, n):
     """
     step_last, step_edges = block_transitions(state["step_last"], step_in)
     sync_last, sync_edges = block_transitions(state["sync_last"], sync_in)
-    t_idx = jnp.arange(n)
     e_cum = fast_cumsum(step_edges.astype(jnp.int32))  # inclusive
-    last_reset = fast_cummax(jnp.where(sync_edges, t_idx, -1))
-    e_at_reset = e_cum[jnp.maximum(last_reset, 0)]
-    base = jnp.where(last_reset >= 0, e_cum - e_at_reset,
+    # edge count at the last sync reset (forward-fill, gather-free)
+    e_at_reset, has_reset = forward_fill(e_cum, sync_edges)
+    base = jnp.where(has_reset, e_cum - e_at_reset,
                      state["current_step"] + e_cum)
     cs = jnp.mod(base, n_steps)
     return cs, step_last, sync_last
@@ -107,16 +107,18 @@ def _grid_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
     cs, step_last, sync_last = _advance_step_block(
         state, step_in, sync_in, params["n_steps"], n)
-    cell = params["cells"][cs]
-    note = params["notes"][cs]
+    # one packed select-chain lookup (note<<2 | cell); TPU gathers are
+    # scalar-slow, K=64 fused selects are not
+    packed_tbl = params["notes"] * 4 + params["cells"]
+    packed = table_lookup(packed_tbl, cs)
+    cell = packed & 3
+    note = packed >> 2
     spo = params["steps_per_octave"].astype(CV_DTYPE)
     note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
     on = cell > 0
     # forward-fill: empty cells hold the last emitted CV (sequencer.rs:237)
-    t_idx = jnp.arange(n)
-    last_on = fast_cummax(jnp.where(on, t_idx, -1))
-    cv_out = jnp.where(last_on >= 0, note_cv[jnp.maximum(last_on, 0)],
-                       state["last_cv"]).astype(CV_DTYPE)
+    filled, any_on = forward_fill(note_cv, on)
+    cv_out = jnp.where(any_on, filled, state["last_cv"]).astype(CV_DTYPE)
     gate_out = jnp.where(on, jnp.where(cell == 2, cv(1.0), step_in), cv(0.0))
     sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
     new_state = {
@@ -210,17 +212,23 @@ def _pat_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
     cs, step_last, sync_last = _advance_step_block(
         state, step_in, sync_in, params["n_steps"], n)
-    cols = params["cells"][:, cs]  # [8, T]
-    gates = jnp.where(cols == 2, cv(1.0),
-                      jnp.where(cols == 1, step_in[None, :], cv(0.0)))
+    # all 8 rows packed 2 bits each into one int32 table -> one
+    # select-chain lookup, rows unpacked elementwise (gather-free)
+    weights = jnp.asarray([4 ** r for r in range(N_ROWS)], dtype=jnp.int32)
+    packed_tbl = (params["cells"] * weights[:, None]).sum(axis=0)
+    packed = table_lookup(packed_tbl, cs)
+    gates = []
+    for r in range(N_ROWS):
+        col = (packed >> (2 * r)) & 3
+        gates.append(jnp.where(col == 2, cv(1.0),
+                               jnp.where(col == 1, step_in, cv(0.0))))
     sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
     new_state = {
         "current_step": cs[-1],
         "step_last": step_last,
         "sync_last": sync_last,
     }
-    outs = tuple(gates[r] for r in range(N_ROWS)) + (sync_out,)
-    return new_state, outs
+    return new_state, tuple(gates) + (sync_out,)
 
 
 def _pat_step(cfg: AudioConfig, statics, params, state, ins, x=None):

@@ -85,6 +85,64 @@ def fast_cummax(x, axis: int = -1):
     return _log_scan(jnp.maximum, x, axis, ident)
 
 
+def forward_fill(values, mask, axis: int = -1):
+    """For each position, the most recent ``values`` entry where ``mask``
+    held (inclusive).  Returns ``(filled, any_valid)``.
+
+    Log-doubling "last valid value" scan -- the TPU-friendly replacement
+    for ``values[cummax(where(mask, t, -1))]``-style gathers (XLA gathers
+    run at scalar speed on TPU).
+    """
+    axis = axis % values.ndim
+    n = values.shape[axis]
+    val = values
+    ok = mask
+    shift = 1
+    while shift < n:
+        s_val = _shifted(val, shift, axis, 0)
+        s_ok = _shifted(ok, shift, axis, False)
+        val = jnp.where(ok, val, s_val)
+        ok = jnp.logical_or(ok, s_ok)
+        shift <<= 1
+    return val, ok
+
+
+def linear_recurrence(a, b, axis: int = -1):
+    """Parallel first-order linear recurrence ``y[t] = a*y[t-1] + b[t]``
+    (constant ``a``), zero initial condition.
+
+    Returns ``(A, Y)`` with ``A[t] = a^(t+1)`` so the solution for an
+    arbitrary initial value y0 is ``A*y0 + Y``.  Log-doubling composition
+    of the affine maps -- the TPU-parallel form of e.g. the Freeverb comb
+    damping filter."""
+    axis = axis % b.ndim
+    n = b.shape[axis]
+    A = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+    Y = b
+    shift = 1
+    while shift < n:
+        A_s = _shifted(A, shift, axis, 1.0)
+        Y_s = _shifted(Y, shift, axis, 0.0)
+        Y = Y_s * A + Y
+        A = A_s * A
+        shift <<= 1
+    return A, Y
+
+
+def table_lookup(table, idx):
+    """``table[idx]`` for a small static table via a select chain.
+
+    ``table``: [K] (K static, e.g. 64 sequencer steps); ``idx``: int array.
+    XLA gathers lower to scalar loops on TPU (~50M elements/s); K fused
+    elementwise selects run at VPU speed instead.
+    """
+    k = table.shape[0]
+    acc = jnp.broadcast_to(table[0], idx.shape)
+    for j in range(1, k):
+        acc = jnp.where(idx == j, table[j], acc)
+    return acc
+
+
 def phase_fixed_init():
     """Fixed-point phase accumulator (fast mode): int32 whose *bit pattern*
     is a uint32 fraction of a cycle (1 ulp = 2^-32).  Two's-complement adds

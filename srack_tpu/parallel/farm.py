@@ -54,7 +54,8 @@ def render_farm(patch: Patch, n_samples: int, *, params: dict,
             drv[mid] = arr
     drv = shard_batch(drv, mesh)
 
-    vmapped = compiled._get_fn(int(n_samples), batched=True)
+    vmapped = compiled._get_fn(int(n_samples), batched=True,
+                               engine=compiled.auto_engine(batched=True))
 
     if not mixdown:
         return vmapped(params, state, keys, drv)
