@@ -156,9 +156,14 @@ class BlockProgram:
         self.stage_in = sorted({
             c for mid in self.stage_plan for c in insts[mid][2]
             if c is not None and c[0] in pre_set})
-        self.stage_out = sorted({
+        stage_out = {
             c for mid in self.post_plan for c in insts[mid][2]
-            if c is not None and c[0] in self.stage_set})
+            if c is not None and c[0] in self.stage_set}
+        # probe taps on stage modules become extra stage outputs
+        self.probe_wires = list(compiled.probes)
+        stage_out.update(w for w in self.probe_wires
+                         if w[0] in self.stage_set)
+        self.stage_out = sorted(stage_out)
 
         self.pallas_ok = all(
             insts[mid][0].type_name in PALLAS_SAFE for mid in self.stage_plan
@@ -266,13 +271,15 @@ class BlockProgram:
                 for c in compiled.instances[mid][2]:
                     if c is not None and c in values:
                         extra[c] = values[c]
-            return wires, extra, new_states, channels
+            probes = {w: values[w] for w in self.probe_wires if w in values}
+            return wires, extra, new_states, channels, probes
 
         def post_fn(params, states, wire_values, xs):
             values = dict(wire_values)
             new_states, channels = self._run_block_phase(
                 self.post_plan, params, states, values, xs, n)
-            return new_states, channels
+            probes = {w: values[w] for w in self.probe_wires if w in values}
+            return new_states, channels, probes
 
         use_pallas = (self.pallas_ok and self.stage_plan
                       and jax.default_backend() == "tpu")
@@ -307,18 +314,25 @@ class BlockProgram:
             states = state["states"]
             fb = state["fb"]
 
-            wires, extra, pre_states, pre_channels = jax.vmap(
+            wires, extra, pre_states, pre_channels, pre_probes = jax.vmap(
                 lambda p, s, x: pre_fn(p, s, x))(params, states, xs)
+
+            def probe_dict(*sources):
+                out = {}
+                for src in sources:
+                    out.update(src)
+                return {f"{mid}:{port}": arr
+                        for (mid, port), arr in out.items()}
 
             if not self.stage_plan:
                 # fully block-parallel patch
-                post_states, channels = jax.vmap(
+                post_states, channels, post_probes = jax.vmap(
                     lambda p, s, w, x: post_fn(p, s, w, x))(
                         params, states, {**wires, **extra}, xs)
                 channels = pre_channels if channels is None else channels
                 audio = jnp.stack(channels, axis=1)
                 final = {"states": {**pre_states, **post_states}, "fb": fb}
-                return audio, {}, final
+                return audio, probe_dict(pre_probes, post_probes), final
 
             stage_params = {m: params[m] for m in self.stage_plan}
             stage_states = {m: states[m] for m in self.stage_plan}
@@ -351,7 +365,7 @@ class BlockProgram:
             stage_wire_values = {w: out_lanes[wire_key(w)]
                                  for w in stage_out_keys}
 
-            post_states, channels = jax.vmap(
+            post_states, channels, post_probes = jax.vmap(
                 lambda p, s, w, x: post_fn(p, s, w, x))(
                     params, states,
                     {**wires, **extra, **stage_wire_values}, xs)
@@ -361,12 +375,17 @@ class BlockProgram:
             final_states = {**pre_states, **stage_final["states"],
                             **post_states}
             final = {"states": final_states, "fb": stage_final["fb"]}
-            return audio, {}, final
+            stage_probes = {w: stage_wire_values[w]
+                            for w in self.probe_wires
+                            if w in stage_wire_values}
+            return audio, probe_dict(pre_probes, stage_probes,
+                                     post_probes), final
 
         return run
 
 
 def eligible(compiled) -> bool:
-    """The block engine handles every patch the scan engine does, except
-    buffer-feedback compat mode and probe taps (those stay on scan)."""
-    return not compiled.cfg.buffer_feedback and not compiled.probes
+    """The block engine handles every patch the scan engine does (probes
+    included), except buffer-feedback compat mode (scan reproduces the
+    reference's block-at-a-time timing exactly)."""
+    return not compiled.cfg.buffer_feedback

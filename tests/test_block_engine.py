@@ -105,3 +105,27 @@ def test_unbatched_block_render():
     a_scan, _, _ = compiled.render(256, engine="scan")
     np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
                                atol=5e-6, rtol=0)
+
+
+def test_block_engine_probes():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    p = presets.subtractive_voice(cfg)
+    env_id = [i.id for i in p if i.mdef.type_name == "ADSR"][0]   # stage
+    lfo_id = [i.id for i in p if i.name == "lfo"][0]              # pre
+    compiled = st.compile_patch(p, probes=[(env_id, 0), (lfo_id, "Sine")])
+    n, v = 256, 2
+    params = farm_params(p, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    a_b, probes_b, _ = compiled.render(n, params=params, state=state,
+                                       key=keys, batched=True,
+                                       engine="block")
+    a_s, probes_s, _ = compiled.render(n, params=params, state=state,
+                                       key=keys, batched=True,
+                                       engine="scan")
+    assert set(probes_b) == set(probes_s) == {f"{env_id}:0", f"{lfo_id}:0"}
+    for k in probes_b:
+        np.testing.assert_allclose(np.asarray(probes_b[k]),
+                                   np.asarray(probes_s[k]),
+                                   atol=5e-6, rtol=0)
