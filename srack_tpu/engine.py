@@ -27,7 +27,7 @@ from .patch import Patch
 
 def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
            state: Optional[dict] = None, key=None, drivers=None,
-           probes: Sequence = ()):
+           probes: Sequence = (), engine: str = "auto"):
     """Render ``n_samples`` of a patch offline.
 
     Returns ``(audio, probes, final_state)``; ``audio`` is ``[channels, n]``
@@ -36,7 +36,7 @@ def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
     """
     compiled = compile_patch(patch, probes=probes)
     return compiled.render(n_samples, params=params, state=state, key=key,
-                           drivers=drivers)
+                           drivers=drivers, engine=engine)
 
 
 def render_stream(patch: Patch, *, params: Optional[dict] = None,

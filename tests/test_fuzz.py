@@ -1,0 +1,105 @@
+"""Randomized patch fuzzing (SURVEY.md §4 implication d).
+
+Random module graphs (including feedback cycles) are rendered through all
+three engines and, where the oracle supports the modules, against the
+NumPy oracle.  The generator mirrors the spirit of the reference's
+1000-shuffle planner test, extended to full renders.
+"""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import srack_tpu as st
+from srack_tpu.oracle import oracle_render
+
+# types the oracle implements deterministically (no Noise)
+FUZZ_TYPES = [
+    "Oscillator", "Moog Filter", "ADSR", "VCA", "Mono Mixer", "Add",
+    "Subtract", "Multiply", "Non-Linear", "Grid Sequencer",
+    "Pattern Sequencer", "Freeverb",
+]
+
+
+def random_patch(seed: int, buffer_feedback=False):
+    rng = random.Random(seed)
+    cfg = st.AudioConfig(sample_rate=4800, block_size=32, channels=2,
+                         precision="exact", buffer_feedback=buffer_feedback)
+    p = st.Patch(cfg)
+    n_modules = rng.randint(3, 9)
+    mods = []
+    for _ in range(n_modules):
+        t = rng.choice(FUZZ_TYPES)
+        kwargs = {}
+        if t == "Oscillator":
+            kwargs["val"] = rng.uniform(-6, 1)
+        elif t == "Moog Filter":
+            kwargs = dict(freq=rng.uniform(0, 1), res=rng.uniform(0, 0.9),
+                          exp_amt=rng.uniform(0, 1))
+        elif t == "ADSR":
+            kwargs = dict(a_sec=rng.uniform(0, 0.01),
+                          d_sec=rng.uniform(0, 0.01),
+                          s_val=rng.uniform(0, 1),
+                          r_sec=rng.uniform(0, 0.01))
+        elif t in ("Add", "Subtract", "Multiply"):
+            kwargs["constant"] = rng.uniform(-2, 2)
+        elif t == "Non-Linear":
+            kwargs["constant"] = rng.uniform(0.5, 2)
+        elif t == "Grid Sequencer":
+            n_steps = rng.randint(2, 12)
+            seq = [None if rng.random() < 0.3 else
+                   (rng.randint(0, 24), rng.random() < 0.5)
+                   for _ in range(n_steps)]
+            kwargs = dict(sequence=seq, n_steps=n_steps)
+        elif t == "Pattern Sequencer":
+            n_steps = rng.randint(2, 12)
+            pat = [[rng.choice([None, True, False])
+                    for _ in range(n_steps)] for _ in range(8)]
+            kwargs = dict(pattern=pat, n_steps=n_steps)
+        mods.append(p.add(t, **kwargs))
+    # random wiring (40% density), including potential cycles
+    for sink in mods + [p.output]:
+        inst = p[sink]
+        for port in range(len(inst.inputs)):
+            if rng.random() < 0.4 and mods:
+                src = rng.choice(mods)
+                n_out = p[src].mdef.num_outputs(cfg, p[src].statics)
+                if n_out:
+                    p.connect(src, rng.randrange(n_out), sink, port)
+    # ensure the output hears something
+    if all(c is None for c in p[p.output].inputs) and mods:
+        src = next((m for m in mods
+                    if p[m].mdef.num_outputs(cfg, p[m].statics)), None)
+        if src is not None:
+            p.connect(src, 0, p.output, 0)
+    return p
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_buffer_mode_matches_oracle(seed):
+    p = random_patch(seed, buffer_feedback=True)
+    n = 32 * 4
+    got, _, _ = st.render(p, n, engine="scan")
+    want = oracle_render(p, n)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=0)
+
+
+@pytest.mark.parametrize("seed", range(10, 22))
+def test_fuzz_block_matches_scan(seed):
+    p = random_patch(seed)
+    n, v = 160, 2
+    compiled = st.compile_patch(p)
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(seed), v)
+    a_scan, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                   batched=True, engine="scan")
+    a_blk, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                  batched=True, engine="block")
+    assert np.isfinite(np.asarray(a_scan)).all()
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
+                               atol=3e-4, rtol=0)
