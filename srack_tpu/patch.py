@@ -121,6 +121,23 @@ class Patch:
                 for c in inst.inputs
             ]
 
+    def set_audio_config(self, config: AudioConfig) -> None:
+        """Change the audio configuration.
+
+        Mirrors the reference's ``set_audio_config`` push into every module
+        (synth.rs:261): most modules only resize transient buffers (a no-op
+        here -- buffers are SSA values), but the Output module recreates its
+        per-channel inputs *disconnected* (output.rs:39-44), which this
+        reproduces.  Renders after the change use the new sample rate /
+        block size; compiled programs are cached per config so this never
+        corrupts an existing executable.
+        """
+        self.config = config
+        for inst in self._modules.values():
+            if inst.mdef.type_name == "Output":
+                inst.statics = ("output", config.channels)
+                inst.inputs = [None] * config.channels
+
     # -- access -------------------------------------------------------------
 
     def __getitem__(self, ref: ModuleRef) -> ModuleInstance:

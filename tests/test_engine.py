@@ -130,3 +130,23 @@ def test_render_is_differentiable():
 
     g = jax.grad(loss)(np.float32(0.3))
     assert np.isfinite(g) and g != 0.0
+
+
+def test_set_audio_config():
+    p = st.Patch(st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                                precision="exact"))
+    osc = p.add("Oscillator")
+    p.connect(osc, "Sine", p.output, 0)
+    a1, _, _ = st.render(p, 64)
+    # switch to stereo at a different rate: Output inputs reset
+    # disconnected, exactly as the reference's set_audio_config does
+    # (output.rs:39-44)
+    p.set_audio_config(st.AudioConfig(sample_rate=9600, block_size=64,
+                                      channels=2, precision="exact"))
+    assert all(c is None for c in p[p.output].inputs)
+    p.connect(osc, "Sine", p.output, 0)
+    p.connect(osc, "Sine", p.output, 1)
+    a2, _, _ = st.render(p, 64)
+    assert a2.shape == (2, 64)
+    # double the rate halves the per-sample phase step
+    assert not np.allclose(np.asarray(a1[0]), np.asarray(a2[0]))
