@@ -26,6 +26,7 @@ from .engine import (
     render,
     render_stream,
     render_batch,
+    render_many,
     stack_params,
     replicate_params,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "render",
     "render_stream",
     "render_batch",
+    "render_many",
     "stack_params",
     "replicate_params",
     "CATALOG",

@@ -75,6 +75,36 @@ def replicate_params(params: dict, n: int) -> dict:
         lambda a: jnp.broadcast_to(a, (n,) + a.shape), params)
 
 
+def render_many(patches: Sequence[Patch], n_samples: int, *, key=None):
+    """Render many patches of possibly *different* topologies.
+
+    Patches are grouped by compiled topology (same program => one vmapped
+    batch, SURVEY.md §7 step 6); each group renders in a single batched
+    call.  Returns a list of ``[channels, n]`` arrays in input order.
+    """
+    groups: dict = {}
+    for i, p in enumerate(patches):
+        groups.setdefault(p.topology_key(), []).append(i)
+    results: list = [None] * len(patches)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    for gi, idxs in enumerate(groups.values()):
+        sub = jax.random.fold_in(key, gi)
+        if len(idxs) == 1:
+            i = idxs[0]
+            audio, _, _ = render(patches[i], n_samples, key=sub)
+            results[i] = audio
+        else:
+            stacked = stack_params([patches[i].params() for i in idxs])
+            audio, _, _ = render_batch(patches[idxs[0]], n_samples,
+                                       params=stacked, key=sub)
+            for j, i in enumerate(idxs):
+                results[i] = audio[j]
+    return results
+
+
 def render_batch(patch: Patch, n_samples: int, *, params: dict,
                  state: Optional[dict] = None, key=None, drivers=None,
                  probes: Sequence = ()):

@@ -150,3 +150,37 @@ def test_set_audio_config():
     assert a2.shape == (2, 64)
     # double the rate halves the per-sample phase step
     assert not np.allclose(np.asarray(a1[0]), np.asarray(a2[0]))
+
+
+def test_render_many_groups_topologies():
+    # two identical-topology patches + one different -> 2 compiled groups
+    def mk(val):
+        p = st.Patch(CFG)
+        o = p.add("Oscillator", val=val)
+        p.connect(o, "Sine", p.output, 0)
+        return p
+
+    def mk_other():
+        p = st.Patch(CFG)
+        o = p.add("Oscillator", val=0.0)
+        g = p.add("Multiply", constant=0.5)
+        p.connect(o, "Sine", g, "In1")
+        p.connect(g, 0, p.output, 0)
+        return p
+
+    patches = [mk(0.0), mk_other(), mk(-1.0)]
+    outs = st.render_many(patches, 128)
+    assert len(outs) == 3
+    for i, p in enumerate(patches):
+        want, _, _ = st.render(p, 128)
+        np.testing.assert_allclose(np.asarray(outs[i]), np.asarray(want),
+                                   atol=1e-4, rtol=0)
+
+
+def test_pitch_helpers():
+    from srack_tpu.utils import note_to_cv, midi_to_cv, cv_to_hz
+    assert note_to_cv("A4") == 0.0
+    assert abs(cv_to_hz(note_to_cv("A5")) - 880.0) < 1e-6
+    assert abs(note_to_cv("C4") - (-9 / 12)) < 1e-9
+    assert abs(note_to_cv("C#3") - (-1 - 8 / 12)) < 1e-9
+    assert midi_to_cv(69) == 0.0
