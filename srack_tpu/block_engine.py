@@ -25,9 +25,12 @@ its true minimum:
    serial kernel (ops/serial_kernel.py), elsewhere as a lax.scan; ``post``
    runs block-wise on the stage's output wires.
 
-For the flagship subtractive voice this cuts the per-sample critical path
-from the whole graph (~150 ops) to ADSR + ladder (~50), which is what the
-BASELINE headline number is made of.
+Role: the fused kernel (register-resident, VPU issue-rate bound) wins for
+patches made purely of register-friendly modules; this engine is the fast
+path for everything *else* -- patches with table-driven modules
+(sequencers, sample players) or long delay lines (Freeverb) whose block
+implementations are gather-free prefix-scan code that cannot live inside
+the fused kernel.
 """
 
 from __future__ import annotations
@@ -227,15 +230,6 @@ class BlockProgram:
         outs = {w: values[w] for w in self.stage_out}
         return new_states, fb_out, outs, channels
 
-    def _stage_fb_keys(self):
-        plan_pos = self.compiled.plan_pos
-        keys = []
-        for mid in self.stage_plan:
-            for c in self.compiled.instances[mid][2]:
-                if (c is not None and c[0] in self.stage_set
-                        and plan_pos[c[0]] >= plan_pos[mid]):
-                    keys.append((c, mid))
-        return sorted({c for c, _ in keys})
 
     # -- full program --------------------------------------------------------
 

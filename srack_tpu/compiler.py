@@ -28,7 +28,6 @@ out of the scan as xs with leading time axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

@@ -21,7 +21,7 @@ from typing import Iterator, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from .compiler import CompiledPatch, compile_patch
+from .compiler import compile_patch
 from .patch import Patch
 
 

@@ -10,8 +10,6 @@ with no driver bound it emits its constant ``value`` parameter.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..config import AudioConfig
 from .base import CV_DTYPE, ModuleDef, const_ports, cv
 

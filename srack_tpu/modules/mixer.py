@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from .base import CV_DTYPE, ModuleDef, cv
+from .base import CV_DTYPE, ModuleDef
 
 
 def _make(cfg: AudioConfig, gains=(1.0, 1.0, 1.0, 1.0)):

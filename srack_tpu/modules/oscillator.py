@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from ..config import AudioConfig
 from ..ops.basic import (block_transitions, delta_to_fixed, fast_cumsum,
                          forward_fill, phase_fixed_init,
-                         phase_fixed_to_float, poly_blep, transition,
-                         transition_init)
+                         phase_fixed_to_float, poly_blep, t_index,
+                         transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -97,7 +97,9 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     """
     (_, antialias) = statics
     cv_in, sync_in = ins
-    t_idx = jnp.arange(n)
+    lane = state["pos"].shape  # () on the host path, (8, 128) in-kernel
+    full = (n,) + lane
+    tidx = t_index(n, lane)
 
     if cfg.exact:
         val = params["val"].astype(jnp.float64)
@@ -105,19 +107,20 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate
         if cv_in is None:
             # constant rate (LFOs, clocks): closed form, no prefix sum
-            excl = delta * t_idx
-            incl = delta * (t_idx + 1.0)
+            excl = delta * tidx
+            incl = delta * (tidx + 1.0)
         else:
-            incl = fast_cumsum(delta)
+            incl = fast_cumsum(delta, axis=0)
             excl = incl - delta
-        delta = jnp.broadcast_to(delta, (n,))
+        delta = jnp.broadcast_to(delta, full)
         if sync_in is None:
             sync_last = state["sync_last"]
             pos_acc = state["pos"] + excl
             next_pos = state["pos"] + incl[-1]
         else:
             sync_last, fires = block_transitions(state["sync_last"], sync_in)
-            excl_at_fire, fired_yet = forward_fill(excl, fires)
+            excl_at_fire, fired_yet = forward_fill(
+                jnp.broadcast_to(excl, full), fires, axis=0)
             pos_acc = jnp.where(fired_yet, excl - excl_at_fire,
                                 state["pos"] + excl)
             next_pos = pos_acc[-1] + delta[-1]
@@ -128,21 +131,21 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         delta_f = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
         dfix = delta_to_fixed(delta_f)
         if cv_in is None:
-            t32 = t_idx.astype(jnp.int32)
-            excl = dfix * t32  # int32 multiply wraps exactly mod 2^32
+            excl = dfix * tidx  # int32 multiply wraps exactly mod 2^32
             incl = excl + dfix
         else:
-            incl = fast_cumsum(dfix)  # exact: int32 adds wrap mod 2^32
+            incl = fast_cumsum(dfix, axis=0)  # int32 adds wrap mod 2^32
             excl = incl - dfix
-        delta_f = jnp.broadcast_to(delta_f, (n,))
-        dfix = jnp.broadcast_to(dfix, (n,))
+        delta_f = jnp.broadcast_to(delta_f, full)
+        dfix = jnp.broadcast_to(dfix, full)
         if sync_in is None:
             sync_last = state["sync_last"]
             pos_acc = state["pos"] + excl
             next_pos = state["pos"] + incl[-1]
         else:
             sync_last, fires = block_transitions(state["sync_last"], sync_in)
-            excl_at_fire, fired_yet = forward_fill(excl, fires)
+            excl_at_fire, fired_yet = forward_fill(
+                jnp.broadcast_to(excl, full), fires, axis=0)
             pos_acc = jnp.where(fired_yet, excl - excl_at_fire,
                                 state["pos"] + excl)
             next_pos = pos_acc[-1] + dfix[-1]

@@ -12,8 +12,6 @@ result.  ``step`` still exists so the module fits the uniform contract.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..config import AudioConfig
 from .base import CV_DTYPE, ModuleDef, in_or
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import (block_transitions, fast_cummax, fast_cumsum,
+from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
                          forward_fill, table_lookup, transition,
                          transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
@@ -93,9 +93,9 @@ def _advance_step_block(state, step_in, sync_in, n_steps, n):
     """
     step_last, step_edges = block_transitions(state["step_last"], step_in)
     sync_last, sync_edges = block_transitions(state["sync_last"], sync_in)
-    e_cum = fast_cumsum(step_edges.astype(jnp.int32))  # inclusive
+    e_cum = fast_cumsum(step_edges.astype(jnp.int32), axis=0)  # inclusive
     # edge count at the last sync reset (forward-fill, gather-free)
-    e_at_reset, has_reset = forward_fill(e_cum, sync_edges)
+    e_at_reset, has_reset = forward_fill(e_cum, sync_edges, axis=0)
     base = jnp.where(has_reset, e_cum - e_at_reset,
                      state["current_step"] + e_cum)
     cs = jnp.mod(base, n_steps)
@@ -103,8 +103,9 @@ def _advance_step_block(state, step_in, sync_in, n_steps, n):
 
 
 def _grid_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
-    step_in = ins[0] if ins[0] is not None else jnp.zeros((n,), CV_DTYPE)
-    sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
+    lane = state["current_step"].shape
+    step_in = block_lane(ins[0], lane, n)
+    sync_in = block_lane(ins[1], lane, n)
     cs, step_last, sync_last = _advance_step_block(
         state, step_in, sync_in, params["n_steps"], n)
     # one packed select-chain lookup (note<<2 | cell); TPU gathers are
@@ -117,7 +118,7 @@ def _grid_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
     on = cell > 0
     # forward-fill: empty cells hold the last emitted CV (sequencer.rs:237)
-    filled, any_on = forward_fill(note_cv, on)
+    filled, any_on = forward_fill(note_cv, on, axis=0)
     cv_out = jnp.where(any_on, filled, state["last_cv"]).astype(CV_DTYPE)
     gate_out = jnp.where(on, jnp.where(cell == 2, cv(1.0), step_in), cv(0.0))
     sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
@@ -208,14 +209,17 @@ def _pat_init_state(cfg: AudioConfig, statics):
 
 
 def _pat_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
-    step_in = ins[0] if ins[0] is not None else jnp.zeros((n,), CV_DTYPE)
-    sync_in = ins[1] if ins[1] is not None else jnp.zeros((n,), CV_DTYPE)
+    lane = state["current_step"].shape
+    step_in = block_lane(ins[0], lane, n)
+    sync_in = block_lane(ins[1], lane, n)
     cs, step_last, sync_last = _advance_step_block(
         state, step_in, sync_in, params["n_steps"], n)
     # all 8 rows packed 2 bits each into one int32 table -> one
     # select-chain lookup, rows unpacked elementwise (gather-free)
+    cells = params["cells"]
     weights = jnp.asarray([4 ** r for r in range(N_ROWS)], dtype=jnp.int32)
-    packed_tbl = (params["cells"] * weights[:, None]).sum(axis=0)
+    weights = weights.reshape((N_ROWS,) + (1,) * (cells.ndim - 1))
+    packed_tbl = (cells * weights).sum(axis=0)
     packed = table_lookup(packed_tbl, cs)
     gates = []
     for r in range(N_ROWS):

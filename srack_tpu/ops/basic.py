@@ -29,15 +29,39 @@ def transition_init() -> jnp.ndarray:
     return jnp.asarray(True)
 
 
-def block_transitions(last_above: jnp.ndarray, vals: jnp.ndarray):
-    """Vectorised edge detection over a [T] block.
+def block_lane(x, lane_shape: tuple, n: int, fill=0.0,
+               dtype=jnp.float32):
+    """Broadcast a per-sample input to ``(n, *lane_shape)``.
 
-    Returns ``(new_last_above, fired[T])`` -- equivalent to folding
+    Block impls run both on plain ``[n]`` arrays (vmapped host path) and on
+    ``(n, 8, 128)`` voice-lane tiles (inside the hybrid Pallas kernel);
+    ``lane_shape`` is taken from a state leaf.  ``None`` becomes a constant
+    fill (the unconnected-input fallback)."""
+    target = (n,) + lane_shape
+    if x is None:
+        return jnp.full(target, fill, dtype=dtype)
+    x = jnp.asarray(x)
+    x = x.reshape(x.shape + (1,) * (len(target) - x.ndim))
+    return jnp.broadcast_to(x, target)
+
+
+def t_index(n: int, lane_shape: tuple, dtype=jnp.int32):
+    """arange(n) shaped (n, 1, ..., 1) to broadcast against lane tiles."""
+    return jnp.arange(n, dtype=dtype).reshape((n,) + (1,) * len(lane_shape))
+
+
+def block_transitions(last_above: jnp.ndarray, vals: jnp.ndarray):
+    """Vectorised edge detection over a [T]-leading block.
+
+    Returns ``(new_last_above, fired)`` -- equivalent to folding
     :func:`transition` over the block, computed with one shift instead of a
     scan (the per-sample recurrence ``last = above`` has no feedback).
+    ``vals`` is ``(n, *lane)`` with ``last_above`` shaped ``lane``.
     """
     above = vals > 0.0
-    prev = jnp.concatenate([last_above[None].astype(above.dtype), above[:-1]])
+    prev = jnp.concatenate(
+        [jnp.broadcast_to(last_above, above.shape[1:])[None]
+         .astype(above.dtype), above[:-1]], axis=0)
     fired = jnp.logical_and(above, jnp.logical_not(prev))
     return above[-1], fired
 

@@ -12,8 +12,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from ..compiler import compile_patch
 from ..patch import Patch, ModuleHandle
 from .mesh import batch_sharding, make_mesh, replicated, shard_batch
