@@ -45,9 +45,10 @@ from .modules.base import CV_DTYPE
 from .ops import serial_kernel
 
 # module types whose per-sample recurrence cannot be expressed as a
-# parallel prefix operation (Freeverb isn't here: its delay lines make it
-# chunk-parallel, modules/freeverb.py _block)
-SERIAL_TYPES = frozenset({"Moog Filter", "ADSR", "Sample"})
+# parallel prefix operation (Freeverb and Sample aren't here: delay lines
+# are chunk-parallel and triggered playback is segment-parallel -- see
+# their _block implementations)
+SERIAL_TYPES = frozenset({"Moog Filter", "ADSR"})
 
 # serial-stage types safe for the Pallas kernel (pure register math)
 PALLAS_SAFE = frozenset({

@@ -20,7 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import AudioConfig
-from ..ops.basic import transition, transition_init
+from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
+                         forward_fill, transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -80,6 +81,50 @@ def _step(cfg: AudioConfig, statics, params, state, ins, x=None):
     return new_state, (out,)
 
 
+def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+    """Whole-block sample playback.
+
+    Playback is *segmented* by gate triggers: within a segment the position
+    is a prefix sum of rates from the trigger (exclusive -- the reference
+    reads before advancing, sample.rs:228-234), the end-of-sample stop is a
+    monotone threshold crossing (after which output holds ``samples[0]``,
+    exactly the serial semantics of reset-then-read), and the carried
+    pre-trigger region continues from the carried position/playing flag.
+    The only per-sample cost left is the waveform gather.
+    """
+    (_, max_len) = statics
+    lane = state["pos"].shape
+    gate = block_lane(ins[0], lane, n)
+    cv_in = block_lane(ins[1], lane, n)
+    gate_last, trig = block_transitions(state["gate_last"], gate)
+
+    length_f = params["length"].astype(CV_DTYPE)
+    rate = (params["wav_sr"] / cfg.sample_rate) * jnp.exp2(cv_in)
+    cum_incl = fast_cumsum(rate, axis=0)
+    cum_excl = cum_incl - rate
+
+    cum_at_trig, has_trig = forward_fill(cum_excl, trig, axis=0)
+    carry_pos = jnp.where(state["playing"], cum_excl + state["pos"],
+                          state["pos"])
+    s = jnp.where(has_trig, cum_excl - cum_at_trig, carry_pos)
+    crossed = s >= length_f  # monotone within a segment (rate > 0)
+
+    idx = jnp.clip(s.astype(jnp.int32), 0, max_len - 1)
+    read = params["samples"][idx]
+    first = params["samples"][0]
+    out = jnp.where(params["length"] > 0,
+                    jnp.where(crossed, first, read), 0.0).astype(CV_DTYPE)
+
+    active_last = jnp.where(has_trig[-1], True, state["playing"])
+    playing_end = jnp.logical_and(active_last,
+                                  jnp.logical_not(crossed[-1]))
+    pos_end = jnp.where(playing_end, s[-1] + rate[-1],
+                        jnp.where(crossed[-1], 0.0, state["pos"]))
+    new_state = {"pos": pos_end.astype(CV_DTYPE), "playing": playing_end,
+                 "gate_last": gate_last}
+    return new_state, (out,)
+
+
 _nin, _inlabels = const_ports(2, ("Gate", "CV"))
 _nout, _outlabels = const_ports(1, (None,))
 
@@ -92,4 +137,5 @@ SAMPLE = ModuleDef(
     output_labels=_outlabels,
     init_state=_init_state,
     step=_step,
+    block=_block,
 )

@@ -129,3 +129,16 @@ def test_block_engine_probes():
         np.testing.assert_allclose(np.asarray(probes_b[k]),
                                    np.asarray(probes_s[k]),
                                    atol=5e-6, rtol=0)
+
+
+def test_sample_player_block_matches_scan():
+    cfg = st.AudioConfig(channels=1, **CFG_KW)
+    p = st.Patch(cfg)
+    # exact power-of-two rate so f32 prefix sums are bit-identical to the
+    # serial accumulation (no nearest-neighbour index ties)
+    wav = np.linspace(-1, 1, 40).astype(np.float32)
+    smp = p.add("Sample", samples=wav, wav_sample_rate=cfg.sample_rate // 2)
+    clk = p.add("Oscillator", val=-6.0)  # retriggers during the render
+    p.connect(clk, "Square", smp, "Gate")
+    p.connect(smp, 0, p.output, 0)
+    _compare(p, n=512, atol=0)
