@@ -35,13 +35,24 @@ from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 MAX_STEPS = 64
 
 
-def _coerce_grid_sequence(sequence):
-    """Accept a list like [None, (note, hold), ...] -> (notes[64], cells[64])."""
-    notes = np.zeros((MAX_STEPS,), dtype=np.int32)
-    cells = np.zeros((MAX_STEPS,), dtype=np.int32)
+def _capacity(n_steps: int, requested) -> int:
+    """Static table capacity: the smallest multiple of 8 (<= MAX_STEPS)
+    holding the sequence.  Table lookups are K-way select chains, so a
+    16-step pattern pays 16 selects, not 64; edits within capacity never
+    recompile, growing past it does (like resizing in the reference UI)."""
+    cap = int(requested) if requested else 0
+    cap = max(cap, int(n_steps), 1)
+    cap = min(-(-cap // 8) * 8, MAX_STEPS)
+    return cap
+
+
+def _coerce_grid_sequence(sequence, capacity):
+    """Accept a list like [None, (note, hold), ...] -> (notes[K], cells[K])."""
+    notes = np.zeros((capacity,), dtype=np.int32)
+    cells = np.zeros((capacity,), dtype=np.int32)
     if sequence is not None:
-        if len(sequence) > MAX_STEPS:
-            raise ValueError(f"sequence longer than {MAX_STEPS}")
+        if len(sequence) > capacity:
+            raise ValueError(f"sequence longer than capacity {capacity}")
         for i, cell in enumerate(sequence):
             if cell is None:
                 continue
@@ -51,16 +62,20 @@ def _coerce_grid_sequence(sequence):
     return notes, cells
 
 
-def _grid_make(cfg: AudioConfig, sequence=None, n_steps: int = 64,
-               octaves: int = 2, steps_per_octave: int = 12):
-    notes, cells = _coerce_grid_sequence(sequence)
+def _grid_make(cfg: AudioConfig, sequence=None, n_steps: int = None,
+               octaves: int = 2, steps_per_octave: int = 12,
+               capacity: int = None):
+    if n_steps is None:
+        n_steps = len(sequence) if sequence is not None else MAX_STEPS
+    cap = _capacity(max(n_steps, len(sequence) if sequence else 0), capacity)
+    notes, cells = _coerce_grid_sequence(sequence, cap)
     params = {
         "notes": jnp.asarray(notes),
         "cells": jnp.asarray(cells),
         "n_steps": jnp.asarray(int(n_steps), dtype=jnp.int32),
         "steps_per_octave": jnp.asarray(int(steps_per_octave), dtype=jnp.int32),
     }
-    return ("gridseq", int(octaves)), params
+    return ("gridseq", int(octaves), cap), params
 
 
 def _grid_init_state(cfg: AudioConfig, statics):
@@ -176,15 +191,15 @@ GRID_SEQUENCER = ModuleDef(
 N_ROWS = 8
 
 
-def _coerce_pattern(pattern):
-    """[[None|True|False]*steps]*8 -> cells[8,64] with 0/1/2 encoding."""
-    cells = np.zeros((N_ROWS, MAX_STEPS), dtype=np.int32)
+def _coerce_pattern(pattern, capacity):
+    """[[None|True|False]*steps]*8 -> cells[8,K] with 0/1/2 encoding."""
+    cells = np.zeros((N_ROWS, capacity), dtype=np.int32)
     if pattern is not None:
         if len(pattern) > N_ROWS:
             raise ValueError(f"pattern has more than {N_ROWS} rows")
         for r, row in enumerate(pattern):
-            if len(row) > MAX_STEPS:
-                raise ValueError(f"pattern longer than {MAX_STEPS}")
+            if len(row) > capacity:
+                raise ValueError(f"pattern longer than capacity {capacity}")
             for i, val in enumerate(row):
                 if val is None:
                     continue
@@ -192,12 +207,17 @@ def _coerce_pattern(pattern):
     return cells
 
 
-def _pat_make(cfg: AudioConfig, pattern=None, n_steps: int = 64):
+def _pat_make(cfg: AudioConfig, pattern=None, n_steps: int = None,
+              capacity: int = None):
+    max_row = max((len(r) for r in pattern), default=0) if pattern else 0
+    if n_steps is None:
+        n_steps = max_row if pattern else MAX_STEPS
+    cap = _capacity(max(n_steps, max_row), capacity)
     params = {
-        "cells": jnp.asarray(_coerce_pattern(pattern)),
+        "cells": jnp.asarray(_coerce_pattern(pattern, cap)),
         "n_steps": jnp.asarray(int(n_steps), dtype=jnp.int32),
     }
-    return ("patseq", N_ROWS), params
+    return ("patseq", N_ROWS, cap), params
 
 
 def _pat_init_state(cfg: AudioConfig, statics):

@@ -174,10 +174,64 @@ def farm_params(patch: Patch, n_voices: int, seed: int = 0) -> dict:
     return stack_params(out)
 
 
+def drum_machine(cfg: AudioConfig | None = None) -> Patch:
+    """Noise/sample percussion kit driven by a pattern sequencer --
+    exercises Noise, Sample, Pattern Sequencer and the filter as a
+    resonant drum body."""
+    cfg = cfg or AudioConfig(channels=1)
+    p = Patch(cfg)
+    clk = p.add("Oscillator", val=-4.5, name="clock")
+    pat = p.add("Pattern Sequencer", n_steps=16, name="pat",
+                pattern=[
+                    [True, None, None, None] * 4,            # kick
+                    [None, None, True, None] * 4,            # snare
+                    [True, True, False, True] * 4,           # hats
+                ])
+    p.connect(clk, "Square", pat, "Step")
+
+    # kick: short decaying click through a low resonant filter
+    kick_env = p.add("ADSR", a_sec=0.001, d_sec=0.12, s_val=0.0,
+                     r_sec=0.05, name="kick_env")
+    kick_osc = p.add("Oscillator", val=-3.5, name="kick_osc")
+    kick_vca = p.add("VCA", name="kick_vca")
+    p.connect(pat, "0", kick_env, "Gate")
+    p.connect(kick_osc, "Sine", kick_vca, "Audio")
+    p.connect(kick_env, 0, kick_vca, "CV")
+
+    # snare: filtered noise burst
+    noise = p.add("Noise", name="noise")
+    sn_env = p.add("ADSR", a_sec=0.001, d_sec=0.08, s_val=0.0,
+                   r_sec=0.03, name="snare_env")
+    sn_flt = p.add("Moog Filter", freq=0.6, res=0.3, name="snare_flt")
+    sn_vca = p.add("VCA", name="snare_vca")
+    p.connect(noise, 0, sn_flt, "Audio")
+    p.connect(pat, "1", sn_env, "Gate")
+    p.connect(sn_flt, 1, sn_vca, "Audio")  # bandpass
+    p.connect(sn_env, 0, sn_vca, "CV")
+
+    # hats: a short looped sample (synthesised metallic waveform)
+    t = np.linspace(0, 1, 400)
+    metallic = (np.sin(2 * np.pi * 317 * t) * np.sin(2 * np.pi * 1021 * t)
+                * np.exp(-10 * t)).astype(np.float32)
+    hat = p.add("Sample", samples=metallic,
+                wav_sample_rate=cfg.sample_rate, name="hat")
+    p.connect(pat, "2", hat, "Gate")
+
+    mix = p.add("Mono Mixer", gains=(1.2, 0.8, 0.5, 0.0), name="mix")
+    p.connect(kick_vca, 0, mix, 0)
+    p.connect(sn_vca, 0, mix, 1)
+    p.connect(hat, 0, mix, 2)
+    p.connect(mix, 0, p.output, 0)
+    if cfg.channels > 1:
+        p.connect(mix, 0, p.output, 1)
+    return p
+
+
 PRESETS = {
     "sine": sine_patch,
     "subtractive": subtractive_voice,
     "sequencer": sequencer_patch,
     "feedback": feedback_patch,
     "reverb": reverb_patch,
+    "drums": drum_machine,
 }
