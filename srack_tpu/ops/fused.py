@@ -79,7 +79,7 @@ def _from_tiles(leaf, v, dtype):
 
 
 def make_fused_render(compiled, n: int, t_chunk: int = 512,
-                      unroll: int = 8):
+                      unroll: int = 8, interpret: bool = None):
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
@@ -90,6 +90,9 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
     n_chunks = np_ // t_chunk
     n_channels = cfg.channels
     xs_mids = compiled.xs_modules
+    if interpret is None:
+        # interpreter mode lets the kernel run (slowly) off-TPU for tests
+        interpret = jax.default_backend() != "tpu"
 
     def run(params, state, keys, drivers):
         v = jax.tree.leaves(params)[0].shape[0]
@@ -222,6 +225,7 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
         )(*p_tiled, *s_tiled, *xs_tiled)
 
         audio_t = outs[:n_channels]

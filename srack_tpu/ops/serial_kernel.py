@@ -52,7 +52,7 @@ def from_tiles(leaf, v, dtype):
 
 
 def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
-                       unroll: int = 8):
+                       unroll: int = 8, interpret: bool = None):
     """Build ``run(params, state, ins) -> (outs, final_state)``.
 
     * ``params`` / ``state``: pytrees with a leading V axis on every leaf
@@ -65,6 +65,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
     n_chunks = np_ // t_chunk
     out_keys = list(out_keys)
     n_outs = len(out_keys)
+    if interpret is None:
+        # interpreter mode lets the kernels run (slowly) off-TPU for tests
+        interpret = jax.default_backend() != "tpu"
 
     def run(params, state, ins):
         state_leaves, state_def = jax.tree.flatten(state)
@@ -179,6 +182,7 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
         )(*p_tiled, *s_tiled, *ins_tiled)
 
         outs = {k: from_tiles(results[j], v, CV_DTYPE)[:, :n]
