@@ -10,6 +10,11 @@ the block engine's serial stages (block_engine.py).
 is an (8, 128) tile; ``ins``/``outs`` are dicts of per-sample lanes.  The
 step must be pure jnp register math (no gathers / ragged buffers) --
 callers gate eligibility on module types.
+
+All input wires are packed into ONE array (and likewise outputs) so each
+sample costs a single dynamic VMEM read and a single write, not one per
+wire -- per-sample dynamic accesses are tens of cycles each and dominate
+multi-wire stages otherwise.
 """
 
 from __future__ import annotations
@@ -82,7 +87,11 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             ins = {k: jnp.pad(a, ((0, 0), (0, np_ - n)))
                    for k, a in ins.items()}
         in_keys = sorted(ins)
-        ins_tiled = [to_tiles(ins[k], v, vp) for k in in_keys]
+        n_x = len(in_keys)
+        # pack every input wire into one [T, n_x, tiles, 8, 128] array
+        if n_x:
+            ins_packed = jnp.stack(
+                [to_tiles(ins[k], v, vp) for k in in_keys], axis=1)
 
         params_leaves, params_def = jax.tree.flatten(params)
         p_dtypes = [l.dtype for l in params_leaves]
@@ -90,16 +99,17 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
         p_tiled = [to_tiles(l, v, vp) for l in params_leaves]
         s_tiled = [to_tiles(l, v, vp) for l in state_leaves]
 
-        n_p, n_s, n_x = len(p_tiled), len(s_tiled), len(ins_tiled)
+        n_p, n_s = len(p_tiled), len(s_tiled)
 
         def kernel(*refs):
             p_refs = refs[:n_p]
             s_refs = refs[n_p:n_p + n_s]
-            x_refs = refs[n_p + n_s:n_p + n_s + n_x]
-            out_refs = refs[n_p + n_s + n_x:n_p + n_s + n_x + n_outs]
-            sout_refs = refs[n_p + n_s + n_x + n_outs:
-                             n_p + n_s + n_x + n_outs + n_s]
-            scratches = refs[n_p + n_s + n_x + n_outs + n_s:]
+            x_ref = refs[n_p + n_s] if n_x else None
+            base = n_p + n_s + (1 if n_x else 0)
+            out_ref = refs[base] if n_outs else None
+            base += 1 if n_outs else 0
+            sout_refs = refs[base:base + n_s]
+            scratches = refs[base + n_s:]
 
             t = pl.program_id(1)
 
@@ -123,11 +133,17 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
                 st = jax.tree.unflatten(state_def, vals)
-                x_t = {k: x_refs[j][i, 0] for j, k in enumerate(in_keys)}
+                if n_x:
+                    row = x_ref[i, :, 0]  # one read: (n_x, 8, 128)
+                    x_t = {k: row[j] for j, k in enumerate(in_keys)}
+                else:
+                    x_t = {}
                 new_state, outs = step(params_k, st, x_t)
-                for j, k in enumerate(out_keys):
-                    out_refs[j][i, 0] = jnp.broadcast_to(
-                        outs[k], (SUBLANES, LANES)).astype(CV_DTYPE)
+                if n_outs:
+                    out_row = jnp.stack([
+                        jnp.broadcast_to(outs[k], (SUBLANES, LANES))
+                        .astype(CV_DTYPE) for k in out_keys])
+                    out_ref[i, :, 0] = out_row  # one write: (n_outs, 8, 128)
                 # a leaf fed by an unconnected (constant) input can collapse
                 # to a scalar; broadcast back, store bools as int32
                 out = []
@@ -137,9 +153,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
 
             # manual unrolling (Pallas fori_loop can't partially unroll)
             def body_u(j, carry):
-                base = j * unroll
+                base_i = j * unroll
                 for u in range(unroll):
-                    carry = body(base + u, carry)
+                    carry = body(base_i + u, carry)
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
@@ -155,24 +171,27 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                 block, lambda vtile, t, z=zeros: z + (vtile, 0, 0),
                 memory_space=pltpu.VMEM)
 
-        stream_spec = pl.BlockSpec(
-            (t_chunk, 1, SUBLANES, LANES),
-            lambda vtile, t: (t, vtile, 0, 0),
-            memory_space=pltpu.VMEM)
+        def packed_spec(width):
+            return pl.BlockSpec(
+                (t_chunk, width, 1, SUBLANES, LANES),
+                lambda vtile, t: (t, 0, vtile, 0, 0),
+                memory_space=pltpu.VMEM)
 
         in_specs = ([tile_spec(l) for l in p_tiled]
                     + [tile_spec(l) for l in s_tiled]
-                    + [stream_spec] * n_x)
-        out_specs = ([stream_spec] * n_outs
+                    + ([packed_spec(n_x)] if n_x else []))
+        out_specs = (([packed_spec(n_outs)] if n_outs else [])
                      + [tile_spec(l) for l in s_tiled])
         out_shape = (
-            [jax.ShapeDtypeStruct((np_, n_tiles, SUBLANES, LANES), CV_DTYPE)
-             for _ in range(n_outs)]
+            ([jax.ShapeDtypeStruct(
+                (np_, n_outs, n_tiles, SUBLANES, LANES), CV_DTYPE)]
+             if n_outs else [])
             + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in s_tiled])
         scratch_shapes = [
             pltpu.VMEM(l.shape[:-3] + (SUBLANES, LANES), l.dtype)
             for l in s_tiled]
 
+        operands = p_tiled + s_tiled + ([ins_packed] if n_x else [])
         results = pl.pallas_call(
             kernel,
             grid=(n_tiles, n_chunks),
@@ -183,12 +202,18 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(*p_tiled, *s_tiled, *ins_tiled)
+        )(*operands)
 
-        outs = {k: from_tiles(results[j], v, CV_DTYPE)[:, :n]
-                for j, k in enumerate(out_keys)}
+        if n_outs:
+            packed_out = results[0]
+            outs = {k: from_tiles(packed_out[:, j], v, CV_DTYPE)[:, :n]
+                    for j, k in enumerate(out_keys)}
+            state_results = results[1:]
+        else:
+            outs = {}
+            state_results = results
         final_leaves = [from_tiles(l, v, d)
-                        for l, d in zip(results[n_outs:], s_dtypes)]
+                        for l, d in zip(state_results, s_dtypes)]
         final_state = jax.tree.unflatten(state_def, final_leaves)
         return outs, final_state
 
