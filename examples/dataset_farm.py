@@ -11,6 +11,11 @@ Usage: python examples/dataset_farm.py [n_voices] [seconds] [out_dir]
 import pathlib
 import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import pathlib
+import sys
+
 import jax
 import numpy as np
 

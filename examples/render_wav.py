@@ -6,6 +6,11 @@ Presets: sine, subtractive, sequencer, feedback, reverb (see
 srack_tpu/presets.py -- these are the BASELINE benchmark configs).
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import srack_tpu as st

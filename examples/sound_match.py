@@ -9,6 +9,11 @@ pure-JAX engine adds over the reference (cf. DiffMoog, PAPERS.md).
 Usage: python examples/sound_match.py [steps]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import sys
 
 import jax

@@ -118,6 +118,21 @@ class _Input(_Module):
             self.offset += self.cfg.block_size
 
 
+class _Noise(_Input):
+    """Reference noise is non-reproducible ``rand::random``
+    (oscillator.rs:385); for cross-validation the oracle consumes the JAX
+    engine's own threefry lanes injected via ``oracle_render(noise=...)``
+    (fall back to the constant-0 Input behaviour otherwise)."""
+
+    def calc(self, modules):
+        b = self.bufs[0]
+        if self.driver is None:
+            b[:] = 0.0
+        else:
+            b[:] = self.driver[self.offset:self.offset + self.cfg.block_size]
+            self.offset += self.cfg.block_size
+
+
 class _Moog(_Module):
     def __init__(self, inst, cfg):
         super().__init__(inst, cfg)
@@ -472,6 +487,7 @@ class _Output(_Module):
 _ORACLE_TYPES = {
     "Oscillator": _Oscillator,
     "Input": _Input,
+    "Noise": _Noise,
     "Moog Filter": _Moog,
     "ADSR": _ADSR,
     "VCA": _VCA,
@@ -488,11 +504,14 @@ _ORACLE_TYPES = {
 }
 
 
-def oracle_render(patch: Patch, n_samples: int, drivers: dict | None = None):
+def oracle_render(patch: Patch, n_samples: int, drivers: dict | None = None,
+                  noise: dict | None = None):
     """Render with literal reference semantics.  Returns [channels, n] f32.
 
     ``n_samples`` is rounded up to whole blocks internally and trimmed,
-    exactly as the reference always computes whole buffers.
+    exactly as the reference always computes whole buffers.  ``noise`` maps
+    Noise module ids to pre-generated [n_blocks*block] sample arrays (use
+    ``compiled._make_xs`` to inject the engine's own lanes).
     """
     cfg = patch.config
     plan, _ = plan_execution(patch)
@@ -503,12 +522,20 @@ def oracle_render(patch: Patch, n_samples: int, drivers: dict | None = None):
             raise NotImplementedError(
                 f"oracle does not support {inst.mdef.type_name}")
         modules[inst.id] = cls(inst, cfg)
-    if drivers:
-        for module, arr in drivers.items():
-            mid = module if isinstance(module, str) else module.id
-            modules[mid].driver = np.asarray(arr, dtype=F32)
-    out_mod = modules[patch.output.id]
     n_blocks = -(-n_samples // cfg.block_size)
+    total = n_blocks * cfg.block_size
+
+    def _bind(mapping):
+        for module, arr in (mapping or {}).items():
+            mid = module if isinstance(module, str) else module.id
+            a = np.asarray(arr, dtype=F32)
+            if a.shape[0] < total:
+                a = np.pad(a, (0, total - a.shape[0]))
+            modules[mid].driver = a
+
+    _bind(drivers)
+    _bind(noise)
+    out_mod = modules[patch.output.id]
     chans = [np.zeros(n_blocks * cfg.block_size, dtype=F32)
              for _ in range(cfg.channels)]
     for b in range(n_blocks):

@@ -103,3 +103,26 @@ def test_fuzz_block_matches_scan(seed):
     assert np.isfinite(np.asarray(a_scan)).all()
     np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
                                atol=3e-4, rtol=0)
+
+
+def test_noise_path_matches_oracle_with_injected_lanes():
+    """Noise itself is excluded from sample-exact comparison (the reference
+    RNG is non-reproducible), but the *processing* of noise is testable:
+    inject the engine's own threefry lanes into the oracle."""
+    cfg = st.AudioConfig(sample_rate=4800, block_size=32, channels=1,
+                         precision="exact", buffer_feedback=True)
+    p = st.Patch(cfg)
+    noise = p.add("Noise", seed=7)
+    flt = p.add("Moog Filter", freq=0.4, res=0.5)
+    gain = p.add("Multiply", constant=0.8)
+    p.connect(noise, 0, flt, "Audio")
+    p.connect(flt, 0, gain, "In1")
+    p.connect(gain, 0, p.output, 0)
+    n = 128
+    compiled = st.compile_patch(p)
+    key = jax.random.PRNGKey(3)
+    got, _, _ = compiled.render(n, key=key, engine="scan")
+    lanes = compiled._make_xs(compiled.default_params, key, n, {})
+    want = oracle_render(p, n, noise={k: np.asarray(v)
+                                      for k, v in lanes.items()})
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=0)
