@@ -224,10 +224,14 @@ class CompiledPatch:
     def auto_engine(self, batched: bool) -> str:
         """Pick the fastest legal engine: fused > block > scan."""
         from . import block_engine
-        if (batched and self.fused_eligible()
-                and jax.default_backend() == "tpu"):
+        on_tpu = jax.default_backend() == "tpu"
+        if batched and self.fused_eligible() and on_tpu:
             return "fused"  # whole-patch register-resident kernel
         if batched and block_engine.eligible(self):
+            return "block"
+        if not batched and on_tpu and block_engine.eligible(self):
+            # a single voice still fills one (8,128) lane tile; the block
+            # engine is ~50x faster than a 1-lane scan on TPU
             return "block"
         return "scan"
 
@@ -272,6 +276,45 @@ class CompiledPatch:
                 fn = jax.jit(self.make_render_fn(n, batched))
             self._fn_cache[cache_key] = fn
         return fn
+
+    def grad_render_fn(self, n: int, batched: bool = True):
+        """A differentiable batched render with a *fast forward pass*.
+
+        ``jax.grad`` cannot flow through the Pallas kernels; this wraps the
+        fused kernel (when eligible, else the plain program) in a
+        ``custom_vjp`` whose backward pass differentiates the equivalent
+        scan-engine program (same math; forward recomputed at scan speed).
+        Signature: ``(params, state, keys, drivers) -> (audio, probes,
+        final_state)``; gradients flow to params, state and drivers.
+        """
+        scan_fn = self.make_render_fn(n, batched=batched)
+        use_fused = (batched and self.fused_eligible()
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from .ops import fused
+            fast_fn = fused.make_fused_render(self, n)
+        else:
+            fast_fn = scan_fn
+
+        @jax.custom_vjp
+        def render(params, state, keys, drivers):
+            return fast_fn(params, state, keys, drivers)
+
+        def fwd(params, state, keys, drivers):
+            return fast_fn(params, state, keys, drivers), (
+                params, state, keys, drivers)
+
+        def bwd(res, ct):
+            params, state, keys, drivers = res
+            _, vjp = jax.vjp(
+                lambda p, s, d: scan_fn(p, s, keys, d),
+                params, state, drivers)
+            dp, ds, dd = vjp(ct)
+            dk = jax.tree.map(jnp.zeros_like, keys)
+            return dp, ds, dk, dd
+
+        render.defvjp(fwd, bwd)
+        return render
 
     def render(self, n_samples: int, *, params: Optional[dict] = None,
                state: Optional[dict] = None, key=None, drivers=None,

@@ -69,8 +69,11 @@ class SoundMatcher:
                 "opt": self.optimizer.init(train)}
 
     def _render(self, params, key, drivers):
+        # the scan engine is the autodiff path (pure jnp; the Pallas
+        # engines need the custom-vjp wrapper in compiler.grad_render)
         audio, _, _ = self.compiled.render(
-            self.n_samples, params=params, key=key, drivers=drivers)
+            self.n_samples, params=params, key=key, drivers=drivers,
+            engine="scan")
         return audio
 
     def _step_impl(self, ts, target, key, drivers):

@@ -100,3 +100,31 @@ def test_sound_matcher_reduces_loss():
 def test_multiscale_loss_zero_for_identical():
     x = jnp.sin(jnp.linspace(0, 100, 2048))[None, :]
     assert float(multiscale_spectral_loss(x, x)) == 0.0
+
+
+def test_grad_render_fn_matches_scan_grads():
+    # fast gate clock so the envelope opens within the short render
+    p = presets.subtractive_voice(CFG, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(p)
+    n, v = 128, 2
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    gr = compiled.grad_render_fn(n, batched=True)
+    scan_fn = compiled.make_render_fn(n, batched=True)
+
+    def loss_with(fn):
+        def loss(prm):
+            audio, _, _ = fn(prm, state, keys, {})
+            return (audio ** 2).mean()
+        return loss
+
+    g1 = jax.grad(loss_with(gr))(params)
+    g2 = jax.grad(loss_with(scan_fn))(params)
+    leaves1, leaves2 = jax.tree.leaves(g1), jax.tree.leaves(g2)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves1)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a, dtype=np.float64),
+                                   np.asarray(b, dtype=np.float64),
+                                   atol=1e-6, rtol=1e-5)
