@@ -185,14 +185,15 @@ class BlockProgram:
             mdef, statics, inputs = insts[mid]
             ins = [None if c is None else values[c] for c in inputs]
             x = xs.get(mid)
-            if mdef.block is not None:
-                new_state, outs = mdef.block(
-                    cfg, statics, params[mid], states[mid], ins, x, n)
-            else:
-                new_state, outs = mdef.step(
-                    cfg, statics, params[mid], states[mid], ins, x)
-                outs = tuple(jnp.broadcast_to(o, (n,)).astype(o.dtype)
-                             for o in outs)
+            with jax.named_scope(f"{mdef.type_name}:{mid}"):
+                if mdef.block is not None:
+                    new_state, outs = mdef.block(
+                        cfg, statics, params[mid], states[mid], ins, x, n)
+                else:
+                    new_state, outs = mdef.step(
+                        cfg, statics, params[mid], states[mid], ins, x)
+                    outs = tuple(jnp.broadcast_to(o, (n,)).astype(o.dtype)
+                                 for o in outs)
             new_states[mid] = new_state
             for p, o in enumerate(outs):
                 values[(mid, p)] = o

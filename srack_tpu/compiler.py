@@ -143,8 +143,10 @@ class CompiledPatch:
                         ins.append(fb_t[(src, sport)])
                     else:
                         ins.append(values[(src, sport)])
-            new_state, outs = mdef.step(
-                cfg, statics, params[mid], states[mid], ins, x_t.get(mid))
+            with jax.named_scope(f"{mdef.type_name}:{mid}"):
+                new_state, outs = mdef.step(
+                    cfg, statics, params[mid], states[mid], ins,
+                    x_t.get(mid))
             new_states[mid] = new_state
             for p, v in enumerate(outs):
                 values[(mid, p)] = v
