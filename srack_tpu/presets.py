@@ -44,7 +44,10 @@ def subtractive_voice(cfg: AudioConfig | None = None, *,
     depth = p.add("Multiply", constant=lfo_depth, name="lfo_depth")
     osc = p.add("Oscillator", val=note, name="vco")
     flt = p.add("Moog Filter", freq=cutoff, res=res, name="vcf")
-    gate_clk = p.add("Oscillator", val=gate_rate_oct, name="gate_clock")
+    # the clock square only feeds gate edge detection -- band-limiting is
+    # irrelevant there, and polyBLEP is ~25% of the voice's per-sample ops
+    gate_clk = p.add("Oscillator", val=gate_rate_oct, name="gate_clock",
+                     antialiasing=False)
     env = p.add("ADSR", a_sec=0.01, d_sec=0.08, s_val=0.5, r_sec=0.15,
                 name="env")
     vca = p.add("VCA", name="vca")
