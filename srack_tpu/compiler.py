@@ -280,23 +280,23 @@ class CompiledPatch:
         return fn
 
     def grad_render_fn(self, n: int, batched: bool = True):
-        """A differentiable batched render with a *fast forward pass*.
+        """A differentiable batched render at kernel speed.
 
-        ``jax.grad`` cannot flow through the Pallas kernels; this wraps the
-        fused kernel (when eligible, else the plain program) in a
-        ``custom_vjp`` whose backward pass differentiates the equivalent
-        scan-engine program (same math; forward recomputed at scan speed).
-        Signature: ``(params, state, keys, drivers) -> (audio, probes,
-        final_state)``; gradients flow to params, state and drivers.
+        ``jax.grad`` cannot flow through the Pallas kernels directly.  For
+        fused-eligible patches on TPU this returns the full Pallas-VJP
+        render (ops/fused_vjp.py: Pallas forward *and* backward, ~40x
+        faster gradient steps than scan autodiff).  Otherwise it wraps the
+        plain program in a ``custom_vjp`` whose backward differentiates the
+        scan-engine program.  Signature: ``(params, state, keys, drivers)
+        -> (audio, probes, final_state)``.
         """
-        scan_fn = self.make_render_fn(n, batched=batched)
         use_fused = (batched and self.fused_eligible()
                      and jax.default_backend() == "tpu")
         if use_fused:
-            from .ops import fused
-            fast_fn = fused.make_fused_render(self, n)
-        else:
-            fast_fn = scan_fn
+            from .ops import fused_vjp
+            return fused_vjp.make_fused_vjp(self, n)
+        scan_fn = self.make_render_fn(n, batched=batched)
+        fast_fn = scan_fn
 
         @jax.custom_vjp
         def render(params, state, keys, drivers):

@@ -44,3 +44,42 @@ def test_fused_kernel_interpret_matches_scan():
                 np.testing.assert_allclose(
                     got.astype(np.float64), want.astype(np.float64),
                     atol=1e-5)
+
+
+def test_fused_vjp_interpret_matches_scan_grads():
+    """Pallas forward + Pallas backward (ops/fused_vjp) vs scan autodiff."""
+    from srack_tpu.ops.fused_vjp import make_fused_vjp
+
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patch = subtractive_voice(cfg, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(patch)
+    v, n = 2, 32
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    render = make_fused_vjp(compiled, n, t_chunk=16, unroll=4,
+                            interpret=True)
+    scan_fn = compiled.make_render_fn(n, batched=True)
+
+    a1, _, _ = render(params, state, keys, {})
+    a2, _, _ = scan_fn(params, state, keys, {})
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def loss_of(fn):
+        def loss(prm):
+            audio, _, _ = fn(prm, state, keys, {})
+            return (audio ** 2).mean()
+        return loss
+
+    g1 = jax.grad(loss_of(render))(params)
+    g2 = jax.grad(loss_of(scan_fn))(params)
+    nonzero = 0
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b, np.float64)
+        np.testing.assert_allclose(a64, b64,
+                                   atol=1e-8 + 1e-4 * np.abs(b64).max())
+        nonzero += np.abs(b64).max() > 0
+    assert nonzero >= 4  # gradients actually flowed
