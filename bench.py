@@ -96,6 +96,37 @@ def main() -> None:
         except Exception as e:
             log(f"[{name}] failed: {e!r}")
 
+    # training-step benchmark (stderr): Pallas fwd+bwd gradient step
+    try:
+        import optax
+        from srack_tpu.utils.train import SoundMatcher, batched_train_step
+        patch = subtractive_voice(cfg)
+        compiled = st.compile_patch(patch)
+        v, nt = 1024, 48000
+        sm = SoundMatcher(patch, nt)
+        ts = sm.init()
+        step = jax.jit(batched_train_step(compiled, optax.adam(1e-3), nt,
+                                          fast=True))
+        targets = jnp.zeros((v, cfg.channels, nt), jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(2), v)
+        t0 = time.perf_counter()
+        tr, opt, loss = step(ts["train"], ts["frozen"],
+                             optax.adam(1e-3).init(ts["train"]),
+                             targets, keys)
+        l0 = float(loss)
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tr, opt, loss = step(tr, ts["frozen"], opt, targets, keys)
+            l0 = float(loss)
+            best = min(best, time.perf_counter() - t0)
+        log(f"[train x{v} (Pallas fwd+bwd)] grad step {best * 1e3:.0f}ms "
+            f"({v * nt / best / 1e9:.2f}G samples/s through fwd+bwd, "
+            f"compile {compile_s:.0f}s, loss {l0:.4f})")
+    except Exception as e:
+        log(f"[train] failed: {e!r}")
+
     print(json.dumps({
         "metric": "rendered_audio_samples_per_sec_per_chip",
         "value": headline,

@@ -132,3 +132,26 @@ def test_grad_render_fn_matches_scan_grads():
         b64 = np.asarray(b, dtype=np.float64)
         np.testing.assert_allclose(a64, b64,
                                    atol=1e-7 + 0.1 * np.abs(b64).max())
+
+
+def test_batched_train_step_fast_mode():
+    import optax
+    from srack_tpu.utils.train import batched_train_step, SoundMatcher
+    p = presets.subtractive_voice(CFG, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(p)
+    n, v = 128, 3
+    sm = SoundMatcher(p, n)
+    ts = sm.init()
+    opt = optax.adam(1e-2)
+    targets = jnp.zeros((v, CFG.channels, n), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), v)
+    for fast in (False, True):
+        step = jax.jit(batched_train_step(compiled, opt, n, fast=fast))
+        tr, os_, loss = step(ts["train"], ts["frozen"],
+                             opt.init(ts["train"]), targets, keys)
+        assert np.isfinite(float(loss))
+        # a second step changes params (gradients flowed)
+        tr2, _, _ = step(tr, ts["frozen"], os_, targets, keys)
+        moved = any(float(jnp.abs(a - b).max()) > 0
+                    for a, b in zip(jax.tree.leaves(tr), jax.tree.leaves(tr2)))
+        assert moved
