@@ -14,10 +14,11 @@ PatternSequencer (sequencer.rs:482-533): 8 trigger rows over the same step
 pointer; per row an on-cell emits 1.0, a slide-cell passes the Step input
 through, an empty cell emits 0.0.
 
-TPU-first: the sequence grid is a traced parameter table (fixed 64-wide with
-a traced ``n_steps``), so sequence *edits never recompile* -- the lookup is
-a gather by the carried step counter.  Cell encoding: 0 = off, 1 = slide,
-2 = on (the reference's Option<(note, hold)> / Option<bool>).
+TPU-first: the sequence grid is a traced parameter table (capacity-sized,
+with a traced ``n_steps``), so sequence *edits never recompile* -- lookups
+are packed select-chains by the carried step counter (TPU gathers run at
+scalar speed).  Cell encoding: 0 = off, 1 = slide, 2 = on (the reference's
+Option<(note, hold)> / Option<bool>).
 """
 
 from __future__ import annotations
