@@ -36,10 +36,6 @@ from .serial_kernel import (LANES, SUBLANES, TILE_VOICES, ceil_to,
                             from_tiles, to_tiles)
 
 
-def _is_float(x) -> bool:
-    return jnp.issubdtype(x.dtype, jnp.floating)
-
-
 def _zero_ct(x):
     """Zero cotangent: float0 for integer/bool primals (jax's tangent type
     for discrete values), ordinary zeros for floats."""
