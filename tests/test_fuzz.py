@@ -126,3 +126,33 @@ def test_noise_path_matches_oracle_with_injected_lanes():
     want = oracle_render(p, n, noise={k: np.asarray(v)
                                       for k, v in lanes.items()})
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=0)
+
+
+@pytest.mark.parametrize("seed", [100, 101, 102, 103])
+def test_fuzz_multirate_and_stereo(seed):
+    """Fuzz across sample rates and channel counts, block vs scan."""
+    rng = random.Random(seed)
+    sr = rng.choice([4410, 8000, 22050])
+    p = random_patch(seed)
+    cfg = st.AudioConfig(sample_rate=sr, block_size=32, channels=2,
+                         precision="exact")
+    # rebuild the same topology at the new rate via save/load
+    from srack_tpu.io import save_patch, load_patch
+    doc = save_patch(p)
+    import json as _json
+    d = _json.loads(doc)
+    d["config"]["sample_rate"] = sr
+    q = load_patch(_json.dumps(d))
+    n, v = 96, 2
+    compiled = st.compile_patch(q)
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(seed), v)
+    a_scan, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                   batched=True, engine="scan")
+    a_blk, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                  batched=True, engine="block")
+    assert np.isfinite(np.asarray(a_scan)).all()
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
+                               atol=3e-4, rtol=0)
