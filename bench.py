@@ -80,13 +80,19 @@ def main() -> None:
 
     # headline: BASELINE spec -- 1000 subtractive voices, 20 s of 48 kHz
     # audio each (long renders amortize the ~28 ms per-call transport
-    # overhead of this environment; device rate is ~10 G samples/s)
-    headline = bench_config("subtractive x1000 x20s",
-                            subtractive_voice(cfg), 960000, 1000)
+    # overhead of this environment; device rate is ~10 G samples/s).
+    # Degrade to shorter renders rather than dying without a JSON line.
+    headline = 0.0
+    for n_try in (960000, 480000, 48000):
+        try:
+            headline = bench_config(f"subtractive x1000 x{n_try // 48000}s",
+                                    subtractive_voice(cfg), n_try, 1000)
+            break
+        except Exception as e:
+            log(f"[headline n={n_try}] failed: {e!r}")
 
     # secondary configs (stderr only); failures must not kill the headline
     for name, patch, n, v in (
-        ("subtractive x1000 x10s", subtractive_voice(cfg), 480000, 1000),
         ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
         ("feedback x1024", feedback_patch(cfg), 48000, 1024),
         ("sequencer x1024 (block engine)", sequencer_patch(cfg), 48000, 1024),
