@@ -27,6 +27,7 @@ from .engine import (
     render_stream,
     render_batch,
     render_many,
+    render_long,
     stack_params,
     replicate_params,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "render_stream",
     "render_batch",
     "render_many",
+    "render_long",
     "stack_params",
     "replicate_params",
     "CATALOG",

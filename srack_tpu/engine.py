@@ -75,6 +75,57 @@ def replicate_params(params: dict, n: int) -> dict:
         lambda a: jnp.broadcast_to(a, (n,) + a.shape), params)
 
 
+def render_long(patch: Patch, n_samples: int, *,
+                segment: int = 48000 * 20, params: Optional[dict] = None,
+                state: Optional[dict] = None, key=None, batched: bool = False,
+                out=None):
+    """Render arbitrarily long audio in fixed segments with carried state.
+
+    A single device call must hold its whole output in HBM; this loops
+    ``render`` over ``segment``-sample pieces (one compile, reused), carries
+    module state between them -- bit-identical to one long render in fast
+    mode (int32 phase accumulators are associativity-free) -- and assembles
+    into a host numpy array (or a preallocated ``out``).  O(segment) device
+    memory for unbounded n (SURVEY.md §5 long-context).
+    """
+    import numpy as np
+
+    compiled = compile_patch(patch)
+    if params is None:
+        params = compiled.default_params
+    if state is None:
+        state = compiled.init_state()
+        if batched:
+            v = jax.tree.leaves(params)[0].shape[0]
+            state = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (v,) + a.shape), state)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+
+    done = 0
+    seg_idx = 0
+    while done < n_samples:
+        m = min(segment, n_samples - done)
+        # fresh noise lanes per segment (noise is keyed randomness; the
+        # deterministic state carry is what must -- and does -- line up)
+        if key.ndim == 2:
+            key_arg = jax.vmap(lambda k: jax.random.fold_in(k, seg_idx))(key)
+        else:
+            key_arg = jax.random.fold_in(key, seg_idx)
+        seg_idx += 1
+        audio, _, state = compiled.render(m, params=params, state=state,
+                                          key=key_arg, batched=batched)
+        a = np.asarray(audio)
+        if out is None:
+            shape = a.shape[:-1] + (n_samples,)
+            out = np.zeros(shape, dtype=a.dtype)
+        out[..., done:done + m] = a
+        done += m
+    return out, state
+
+
 def render_many(patches: Sequence[Patch], n_samples: int, *, key=None):
     """Render many patches of possibly *different* topologies.
 

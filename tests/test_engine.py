@@ -184,3 +184,17 @@ def test_pitch_helpers():
     assert abs(note_to_cv("C4") - (-9 / 12)) < 1e-9
     assert abs(note_to_cv("C#3") - (-1 - 8 / 12)) < 1e-9
     assert midi_to_cv(69) == 0.0
+
+
+def test_render_long_matches_single_render():
+    # self-contained patch (no drivers) for segment-vs-single equality
+    q = st.Patch(CFG)
+    osc = q.add("Oscillator", val=-1.0)
+    flt = q.add("Moog Filter", freq=0.4, res=0.5)
+    q.connect(osc, "Sawtooth", flt, "Audio")
+    q.connect(flt, 0, q.output, 0)
+    n = 512
+    full, _, _ = st.render(q, n, engine="scan")
+    long_audio, final = st.render_long(q, n, segment=128)
+    np.testing.assert_allclose(long_audio, np.asarray(full), atol=1e-6,
+                               rtol=0)
