@@ -46,9 +46,9 @@ from .ops import serial_kernel
 
 # module types whose per-sample recurrence cannot be expressed as a
 # parallel prefix operation (Freeverb and Sample aren't here: delay lines
-# are chunk-parallel and triggered playback is segment-parallel -- see
-# their _block implementations)
-SERIAL_TYPES = frozenset({"Moog Filter", "ADSR"})
+# are chunk-parallel and triggered playback is segment-parallel; ADSR is
+# segment-parallel between gate edges -- see ops/adsr_block.py)
+SERIAL_TYPES = frozenset({"Moog Filter"})
 
 # serial-stage types safe for the Pallas kernel (pure register math)
 PALLAS_SAFE = frozenset({
@@ -114,8 +114,22 @@ class BlockProgram:
         self.cfg: AudioConfig = compiled.cfg
         insts = compiled.instances
         plan = compiled.plan
+        plan_pos = compiled.plan_pos
+        # buffer-feedback compat mode (synth.rs:168-192 previous-buffer
+        # reads): a feedback edge carries a whole block-delayed lane, so it
+        # is NOT a dependency within one block -- the graph is acyclic at
+        # block granularity and everything runs block-parallel under an
+        # outer scan over blocks.
+        self.buffer_mode = self.cfg.buffer_feedback
 
-        deps = {mid: [c[0] for c in insts[mid][2] if c is not None]
+        def is_fb(conn, mid):
+            return plan_pos[conn[0]] >= plan_pos[mid]
+
+        self._is_fb = is_fb
+
+        deps = {mid: [c[0] for c in insts[mid][2]
+                      if c is not None
+                      and not (self.buffer_mode and is_fb(c, mid))]
                 for mid in insts}
         consumers = {mid: [] for mid in insts}
         for mid, ds in deps.items():
@@ -125,6 +139,7 @@ class BlockProgram:
         serial = {mid for mid, (mdef, _, _) in insts.items()
                   if mdef.type_name in SERIAL_TYPES}
         # feedback cycles force per-sample execution for all members
+        # (buffer mode: fb edges are excluded from deps, so no cycles left)
         for comp in _sccs(list(insts), deps):
             if len(comp) > 1 or comp[0] in deps[comp[0]]:
                 serial.update(comp)
@@ -159,14 +174,26 @@ class BlockProgram:
         pre_set = set(self.pre_plan)
         self.stage_in = sorted({
             c for mid in self.stage_plan for c in insts[mid][2]
-            if c is not None and c[0] in pre_set})
+            if c is not None and c[0] in pre_set
+            and not (self.buffer_mode and is_fb(c, mid))})
+        # buffer mode: block-delayed lanes consumed by stage modules stream
+        # into the serial kernel as extra per-sample inputs
+        self.stage_fb_in = sorted({
+            c for mid in self.stage_plan for c in insts[mid][2]
+            if c is not None and is_fb(c, mid)}) if self.buffer_mode else []
         stage_out = {
             c for mid in self.post_plan for c in insts[mid][2]
-            if c is not None and c[0] in self.stage_set}
+            if c is not None and c[0] in self.stage_set
+            and not (self.buffer_mode and is_fb(c, mid))}
         # probe taps on stage modules become extra stage outputs
         self.probe_wires = list(compiled.probes)
         stage_out.update(w for w in self.probe_wires
                          if w[0] in self.stage_set)
+        # buffer mode: fb wires sourced inside the stage must come out so
+        # the next block can read them
+        if self.buffer_mode:
+            stage_out.update(k for k in compiled.fb_keys
+                             if k[0] in self.stage_set)
         self.stage_out = sorted(stage_out)
 
         self.pallas_ok = all(
@@ -175,15 +202,24 @@ class BlockProgram:
 
     # -- block phases --------------------------------------------------------
 
-    def _run_block_phase(self, plan_subset, params, states, values, xs, n):
-        """Run block-capable modules over whole [n] wires (unbatched)."""
+    def _run_block_phase(self, plan_subset, params, states, values, xs, n,
+                         fb=None):
+        """Run block-capable modules over whole [n] wires (unbatched).
+
+        ``fb`` (buffer mode): block-delayed lanes; an input whose source is
+        planned at-or-after its sink reads the delayed lane -- the same
+        whatever-is-in-the-buffer rule as compiler._sample_step.
+        """
         cfg = self.cfg
         insts = self.compiled.instances
         new_states = {}
         channels = None
         for mid in plan_subset:
             mdef, statics, inputs = insts[mid]
-            ins = [None if c is None else values[c] for c in inputs]
+            ins = [None if c is None else
+                   (fb[c] if fb is not None and self._is_fb(c, mid)
+                    else values[c])
+                   for c in inputs]
             x = xs.get(mid)
             with jax.named_scope(f"{mdef.type_name}:{mid}"):
                 if mdef.block is not None:
@@ -204,7 +240,8 @@ class BlockProgram:
     # -- serial stage --------------------------------------------------------
 
     def _stage_step(self, params, states, fb, ext):
-        """One sample through the serial stage.  ``ext``: {(src,port): val}."""
+        """One sample through the serial stage.  ``ext``: {(src,port): val},
+        plus -- in buffer mode -- {("fb", src, port): delayed val}."""
         cfg = self.cfg
         insts = self.compiled.instances
         plan_pos = self.compiled.plan_pos
@@ -217,6 +254,8 @@ class BlockProgram:
             for c in inputs:
                 if c is None:
                     ins.append(None)
+                elif self.buffer_mode and self._is_fb(c, mid):
+                    ins.append(values[("fb",) + c])
                 elif c[0] in self.stage_set and plan_pos[c[0]] >= plan_pos[mid]:
                     ins.append(fb[c])
                 else:
@@ -238,6 +277,8 @@ class BlockProgram:
     def make_run(self, n: int, t_chunk: Optional[int] = None):
         """Build ``run(params, state, key, drivers) -> (audio, {}, state)``
         over a leading voice axis (batched)."""
+        if self.buffer_mode:
+            return self._make_run_buffer(n, t_chunk)
         if t_chunk is None:
             # size the kernel's streamed-wire chunks so double-buffered
             # in/out lanes fit comfortably in 16 MB VMEM
@@ -379,9 +420,163 @@ class BlockProgram:
 
         return run
 
+    # -- buffer-feedback compat mode ------------------------------------------
+
+    def _make_run_buffer(self, n: int, t_chunk: Optional[int] = None):
+        """Reference-exact previous-buffer feedback on the block engine.
+
+        One block is fully block-parallel (every fb edge reads the previous
+        block's lane, so the within-block graph is acyclic); blocks chain
+        under an outer ``lax.scan`` carrying module states + fb lanes --
+        the same structure as compiler._render_buffer_mode but with the
+        block phases vectorised and the serial stage in the Pallas kernel.
+        """
+        compiled = self.compiled
+        cfg = self.cfg
+        block = cfg.block_size
+        if n % block != 0:
+            raise ValueError(
+                f"buffer_feedback mode renders whole blocks: n={n} is not a "
+                f"multiple of block_size={block}")
+        n_blocks = n // block
+        if t_chunk is None:
+            t_chunk = min(block, 512)
+        fb_keys = tuple(sorted(compiled.fb_keys))
+        stage_out_keys = list(self.stage_out)
+        if compiled.output_id in self.stage_set:
+            raise NotImplementedError(
+                "Output module in the serial stage is not supported by "
+                "the block engine")
+
+        def wire_key(w):
+            if len(w) == 3:  # ("fb", src, port): block-delayed lane
+                return f"fb:{w[1]}#{w[2]}"
+            return f"{w[0]}#{w[1]}"
+
+        def eval_key(s):
+            fbp = s.startswith("fb:")
+            if fbp:
+                s = s[3:]
+            mid, port = s.rsplit("#", 1)
+            return ("fb", mid, int(port)) if fbp else (mid, int(port))
+
+        def pre_fn(params, states, xs, fb):
+            values: dict = {}
+            new_states, channels = self._run_block_phase(
+                self.pre_plan, params, states, values, xs, block, fb=fb)
+            probes = {w: values[w] for w in self.probe_wires if w in values}
+            return new_states, channels, probes, values
+
+        def post_fn(params, states, wire_values, xs, fb):
+            values = dict(wire_values)
+            new_states, channels = self._run_block_phase(
+                self.post_plan, params, states, values, xs, block, fb=fb)
+            probes = {w: values[w] for w in self.probe_wires if w in values}
+            return new_states, channels, probes, values
+
+        use_pallas = (self.pallas_ok and self.stage_plan
+                      and jax.default_backend() == "tpu")
+        kern = None
+        if self.stage_plan:
+            def kernel_step(k_params, k_state, ins_dict):
+                ext = {eval_key(k): val for k, val in ins_dict.items()}
+                new_states, fb_out, outs, _ = self._stage_step(
+                    k_params, k_state["states"], k_state["fb"], ext)
+                out_lanes = {wire_key(w): outs[w] for w in stage_out_keys}
+                return {"states": new_states, "fb": fb_out}, out_lanes
+
+            if use_pallas:
+                kern = serial_kernel.make_serial_kernel(
+                    kernel_step, block,
+                    [wire_key(w) for w in stage_out_keys], t_chunk=t_chunk)
+
+        def one_block(params, states, fb, xs_b):
+            pre_states, pre_channels, pre_probes, pre_values = jax.vmap(
+                pre_fn)(params, states, xs_b, fb)
+            stage_wire_values: dict = {}
+            stage_final_states: dict = {}
+            stage_probes: dict = {}
+            if self.stage_plan:
+                stage_params = {m: params[m] for m in self.stage_plan}
+                stage_states = {m: states[m] for m in self.stage_plan}
+                stage_state = {"states": stage_states, "fb": {}}
+                ins_lanes = {wire_key(w): pre_values[w]
+                             for w in self.stage_in}
+                ins_lanes.update({wire_key(("fb",) + k): fb[k]
+                                  for k in self.stage_fb_in})
+                if use_pallas:
+                    out_lanes, stage_final = kern(
+                        stage_params, stage_state, ins_lanes)
+                else:
+                    def scan_one(sp, ss, lanes):
+                        def body(carry, lane_t):
+                            st, fbc = carry
+                            ext = {eval_key(k): val
+                                   for k, val in lane_t.items()}
+                            ns, fo, outs, _ = self._stage_step(
+                                sp, st, fbc, ext)
+                            return (ns, fo), {wire_key(w): outs[w]
+                                              for w in stage_out_keys}
+                        (sf, ff), outs = jax.lax.scan(
+                            body, (ss["states"], ss["fb"]), lanes,
+                            length=block, unroll=4)
+                        return outs, {"states": sf, "fb": ff}
+                    out_lanes, stage_final = jax.vmap(scan_one)(
+                        stage_params, stage_state, ins_lanes)
+                stage_wire_values = {w: out_lanes[wire_key(w)]
+                                     for w in stage_out_keys}
+                stage_final_states = stage_final["states"]
+                stage_probes = {w: stage_wire_values[w]
+                                for w in self.probe_wires
+                                if w in stage_wire_values}
+
+            post_states, channels, post_probes, post_values = jax.vmap(
+                post_fn)(params, states,
+                         {**pre_values, **stage_wire_values}, xs_b, fb)
+            channels = channels if channels is not None else pre_channels
+            audio = jnp.stack(channels, axis=1)
+            new_states = {**pre_states, **stage_final_states, **post_states}
+            all_values = {**pre_values, **stage_wire_values, **post_values}
+            fb_out = {k: all_values[k] for k in fb_keys}
+            probes = {**pre_probes, **stage_probes, **post_probes}
+            return audio, probes, new_states, fb_out
+
+        def run(params, state, keys, drivers):
+            def one_xs(p, k):
+                return compiled._make_xs(p, k, n, drivers={})
+            xs = jax.vmap(one_xs)(params, keys)
+            for mid_h, arr in (drivers or {}).items():
+                xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
+
+            def blocked(a):  # [V, n, ...] -> [n_blocks, V, block, ...]
+                a = a.reshape((a.shape[0], n_blocks, block) + a.shape[2:])
+                return jnp.moveaxis(a, 1, 0)
+            xs_t = {k2: blocked(v) for k2, v in xs.items()}
+
+            def outer(carry, xs_b):
+                states, fb = carry
+                audio_b, probes_b, ns, fb_out = one_block(
+                    params, states, fb, xs_b)
+                return (ns, fb_out), (audio_b, probes_b)
+
+            (states_f, fb_f), (ys, pys) = jax.lax.scan(
+                outer, (state["states"], state["fb"]), xs_t,
+                length=n_blocks)
+            # ys: [n_blocks, V, C, block] -> [V, C, n]
+            audio = jnp.moveaxis(ys, 0, 2).reshape(
+                ys.shape[1], ys.shape[2], n)
+            probes = {
+                f"{mid}:{port}": jnp.moveaxis(arr, 0, 1).reshape(
+                    arr.shape[1], n)
+                for (mid, port), arr in pys.items()}
+            return audio, probes, {"states": states_f, "fb": fb_f}
+
+        return run
+
 
 def eligible(compiled) -> bool:
-    """The block engine handles every patch the scan engine does (probes
-    included), except buffer-feedback compat mode (scan reproduces the
-    reference's block-at-a-time timing exactly)."""
-    return not compiled.cfg.buffer_feedback
+    """The block engine handles every patch the scan engine does, probes
+    and buffer-feedback compat mode included (buffer mode runs an outer
+    scan over blocks; fb edges read the previous block's lanes, exactly
+    the reference's previous-buffer timing, synth.rs:168-192)."""
+    return True

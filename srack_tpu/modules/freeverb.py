@@ -162,15 +162,14 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     dt = _core_dtype(cfg)
     cl, cr, al, ar = line_lengths(cfg.sample_rate)
-    chunk = min(min(cl), min(cr), min(al), min(ar))
-    n_chunks = -(-n // chunk)
-    npad = n_chunks * chunk
+    chunk = min(min(cl), min(cr), min(al), min(ar), n)
+    full = n // chunk
+    rem = n - full * chunk
 
     def lane(x):
         if x is None:
-            return jnp.zeros((npad,), dt)
-        v = jnp.broadcast_to(x, (n,)).astype(dt)
-        return jnp.pad(v, (0, npad - n))
+            return jnp.zeros((n,), dt)
+        return jnp.broadcast_to(x, (n,)).astype(dt)
 
     l_in = lane(ins[0])
     r_in = lane(ins[1])
@@ -190,40 +189,63 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     fs = {f"c{ch}{i}": state[f"c{ch}{i}_fs"]
           for ch in "lr" for i in range(len(cl))}
 
-    def comb_chunk(h, fs0, mixed):
-        y = h[:chunk]
-        A, Y = linear_recurrence(damp, y * (1.0 - damp))
-        fs_t = A * fs0 + Y
-        w = mixed + fs_t * feed
-        return jnp.concatenate([h[chunk:], w]), fs_t[-1], y
+    def make_body(csize):
+        """One chunk of ``csize <= chunk`` samples (every delay-line read
+        within it predates the chunk, so it vectorises)."""
 
-    def allpass_chunk(h, x):
-        delayed = h[:chunk]
-        out = delayed - x
-        w = x + delayed * ALLPASS_FEEDBACK
-        return jnp.concatenate([h[chunk:], w]), out
+        def comb_chunk(h, fs0, mixed):
+            y = h[:csize]
+            A, Y = linear_recurrence(damp, y * (1.0 - damp))
+            fs_t = A * fs0 + Y
+            w = mixed + fs_t * feed
+            return jnp.concatenate([h[csize:], w]), fs_t[-1], y
 
-    def body(carry, xch):
-        hists, fss = carry
-        lc, rc = xch
-        mixed = (lc + rc) * in_gain
-        hists = dict(hists)
-        fss = dict(fss)
-        out = {"l": jnp.zeros((chunk,), dt), "r": jnp.zeros((chunk,), dt)}
-        for ch in "lr":
-            for i in range(len(cl)):
-                k = f"c{ch}{i}"
-                hists[k], fss[k], y = comb_chunk(hists[k], fss[k], mixed)
-                out[ch] = out[ch] + y
-            for i in range(len(al)):
-                k = f"a{ch}{i}"
-                hists[k], out[ch] = allpass_chunk(hists[k], out[ch])
-        fl = (out["l"] * wet1 + out["r"] * wet2 + lc * dry).astype(CV_DTYPE)
-        fr = (out["r"] * wet1 + out["l"] * wet2 + rc * dry).astype(CV_DTYPE)
-        return (hists, fss), (fl, fr)
+        def allpass_chunk(h, x):
+            delayed = h[:csize]
+            out = delayed - x
+            w = x + delayed * ALLPASS_FEEDBACK
+            return jnp.concatenate([h[csize:], w]), out
 
-    xs_chunks = (l_in.reshape(n_chunks, chunk), r_in.reshape(n_chunks, chunk))
-    (hists_f, fss_f), (fl, fr) = jax.lax.scan(body, (hist, fs), xs_chunks)
+        def body(carry, xch):
+            hists, fss = carry
+            lc, rc = xch
+            mixed = (lc + rc) * in_gain
+            hists = dict(hists)
+            fss = dict(fss)
+            out = {"l": jnp.zeros((csize,), dt),
+                   "r": jnp.zeros((csize,), dt)}
+            for ch in "lr":
+                for i in range(len(cl)):
+                    k = f"c{ch}{i}"
+                    hists[k], fss[k], y = comb_chunk(hists[k], fss[k], mixed)
+                    out[ch] = out[ch] + y
+                for i in range(len(al)):
+                    k = f"a{ch}{i}"
+                    hists[k], out[ch] = allpass_chunk(hists[k], out[ch])
+            fl = (out["l"] * wet1 + out["r"] * wet2
+                  + lc * dry).astype(CV_DTYPE)
+            fr = (out["r"] * wet1 + out["l"] * wet2
+                  + rc * dry).astype(CV_DTYPE)
+            return (hists, fss), (fl, fr)
+
+        return body
+
+    carry = (hist, fs)
+    pieces_l, pieces_r = [], []
+    if full:
+        xs_chunks = (l_in[:full * chunk].reshape(full, chunk),
+                     r_in[:full * chunk].reshape(full, chunk))
+        carry, (fl, fr) = jax.lax.scan(make_body(chunk), carry, xs_chunks)
+        pieces_l.append(fl.reshape(-1))
+        pieces_r.append(fr.reshape(-1))
+    if rem:
+        # partial tail chunk: consume exactly ``rem`` samples so carried
+        # state stays sample-accurate for continued renders
+        carry, (fl, fr) = make_body(rem)(
+            carry, (l_in[full * chunk:], r_in[full * chunk:]))
+        pieces_l.append(fl)
+        pieces_r.append(fr)
+    hists_f, fss_f = carry
 
     new_state = dict(state)
     for k in line_keys:
@@ -232,7 +254,9 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     for ch in "lr":
         for i in range(len(cl)):
             new_state[f"c{ch}{i}_fs"] = fss_f[f"c{ch}{i}"]
-    return new_state, (fl.reshape(-1)[:n], fr.reshape(-1)[:n])
+    out_l = pieces_l[0] if len(pieces_l) == 1 else jnp.concatenate(pieces_l)
+    out_r = pieces_r[0] if len(pieces_r) == 1 else jnp.concatenate(pieces_r)
+    return new_state, (out_l, out_r)
 
 
 _nin, _inlabels = const_ports(2, ("Left", "Right"))

@@ -131,6 +131,50 @@ def forward_fill(values, mask, axis: int = -1):
     return val, ok
 
 
+def forward_fill_multi(values: tuple, mask, axis: int = -1):
+    """:func:`forward_fill` for several arrays sharing one mask.
+
+    Fills every array in ``values`` with its most recent entry where ``mask``
+    held, propagating the shared validity once.  Returns
+    ``(filled_tuple, any_valid)``.
+    """
+    axis = axis % mask.ndim
+    n = mask.shape[axis]
+    vals = list(values)
+    ok = mask
+    shift = 1
+    while shift < n:
+        s_ok = _shifted(ok, shift, axis, False)
+        for i, v in enumerate(vals):
+            s_v = _shifted(v, shift, axis, 0)
+            vals[i] = jnp.where(ok, v, s_v)
+        ok = jnp.logical_or(ok, s_ok)
+        shift <<= 1
+    return tuple(vals), ok
+
+
+def affine_scan(a, b, axis: int = 0):
+    """Compose per-element affine maps ``y -> a[t]*y + b[t]`` inclusively.
+
+    Returns ``(A, B)`` with ``y[t] = A[t]*y0 + B[t]`` solving the
+    variable-coefficient first-order recurrence ``y[t] = a[t]*y[t-1] + b[t]``
+    (cf. :func:`linear_recurrence`, which requires constant ``a``).
+    Log-doubling: O(log n) fused elementwise passes.
+    """
+    axis = axis % b.ndim
+    n = b.shape[axis]
+    A = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+    B = b
+    shift = 1
+    while shift < n:
+        A_s = _shifted(A, shift, axis, 1.0)
+        B_s = _shifted(B, shift, axis, 0.0)
+        B = A * B_s + B
+        A = A * A_s
+        shift <<= 1
+    return A, B
+
+
 def linear_recurrence(a, b, axis: int = -1):
     """Parallel first-order linear recurrence ``y[t] = a*y[t-1] + b[t]``
     (constant ``a``), zero initial condition.

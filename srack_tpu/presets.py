@@ -92,7 +92,9 @@ def sequencer_patch(cfg: AudioConfig | None = None) -> Patch:
     p.connect(clk, "Square", pat, "Step")
     p.connect(grid, "Sync", pat, "Sync")
 
-    mixers = [p.add("Mono Mixer", name=f"mix{i}") for i in range(2)]
+    # 4 voices per sub-mix at 0.25 each keeps every bus within full scale
+    mixers = [p.add("Mono Mixer", gains=(0.25, 0.25, 0.25, 0.25),
+                    name=f"mix{i}") for i in range(2)]
     p.connect(lead_vca, 0, mixers[0], 0)
     for r in range(7):
         osc = p.add("Oscillator", val=-3.0 + r * 0.5, name=f"perc_vco{r}")

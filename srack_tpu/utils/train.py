@@ -101,7 +101,8 @@ class SoundMatcher:
 
 
 def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
-                       loss_fn: Callable = waveform_l2, fast: bool = False):
+                       loss_fn: Callable = waveform_l2, fast: bool = False,
+                       mesh=None):
     """A jittable *batched* training step.
 
     Shared (replicated) trainable params, a batch of targets + noise keys:
@@ -111,15 +112,17 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
     no hand-written collectives.
 
     ``fast=True`` routes rendering through the Pallas-VJP kernels
-    (compiler.grad_render_fn): ~40x faster gradient steps, single chip
-    only (pallas_call is not SPMD-partitionable) -- keep the default for
-    mesh-sharded training.
+    (compiler.grad_render_fn): ~40x faster gradient steps.  ``pallas_call``
+    itself is not SPMD-partitionable, so passing ``mesh`` wraps the render
+    in ``jax.shard_map`` over the batch axis: each device runs the fused
+    forward+backward kernels on its batch shard, and shard_map's transpose
+    inserts the gradient psum for the replicated params.
     """
 
     if fast:
         gr = compiled.grad_render_fn(n_samples, batched=True)
 
-        def render_batchd(params, keys):
+        def _render_shard(params, keys):
             v = keys.shape[0]
             params_b = jax.tree.map(
                 lambda a: jnp.broadcast_to(a[None], (v,) + a.shape), params)
@@ -128,6 +131,15 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
                 compiled.init_state())
             audio, _, _ = gr(params_b, state, keys, {})
             return audio
+
+        if mesh is None:
+            render_batchd = _render_shard
+        else:
+            from jax.sharding import PartitionSpec as P
+            bspec = P(mesh.axis_names)
+            render_batchd = jax.shard_map(
+                _render_shard, mesh=mesh,
+                in_specs=(P(), bspec), out_specs=bspec)
     else:
         def render_one(params, key):
             state = compiled.init_state()

@@ -43,9 +43,10 @@ def test_partition_subtractive():
     types = {mid: compiled.instances[mid][0].type_name
              for mid in compiled.instances}
     stage_types = sorted(types[m] for m in prog.stage_plan)
-    # only the true serial cores stay per-sample
-    assert stage_types == ["ADSR", "Moog Filter"]
-    assert len(prog.pre_plan) == 4 and len(prog.post_plan) == 2
+    # only the true serial core (the Moog ladder) stays per-sample; the
+    # ADSR is segment-parallel (ops/adsr_block.py) and joins the pre phase
+    assert stage_types == ["Moog Filter"]
+    assert len(prog.pre_plan) == 5 and len(prog.post_plan) == 2
 
 
 def test_partition_pure_block():
@@ -142,3 +143,77 @@ def test_sample_player_block_matches_scan():
     p.connect(clk, "Square", smp, "Gate")
     p.connect(smp, 0, p.output, 0)
     _compare(p, n=512, atol=0)
+
+
+@pytest.mark.parametrize("name", ["sine", "subtractive", "sequencer",
+                                  "feedback", "reverb", "drums"])
+def test_buffer_feedback_block_matches_scan(name):
+    """Buffer-feedback compat mode on the block engine (outer scan over
+    blocks; fb edges read the previous block's lanes) matches the scan
+    engine's reference-exact previous-buffer timing, including continued
+    renders from a carried state."""
+    channels = 2 if name == "reverb" else 1
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=channels,
+                         precision="exact", buffer_feedback=True)
+    patch = presets.PRESETS[name](cfg)
+    compiled = st.compile_patch(patch)
+    n, v = 512, 2
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    a_s, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                batched=True, engine="scan")
+    a_b, _, st_b = compiled.render(n, params=params, state=state, key=keys,
+                                   batched=True, engine="block")
+    np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_s),
+                               atol=5e-6, rtol=0)
+    a_s2, _, _ = compiled.render(n, params=params, state=st_b, key=keys,
+                                 batched=True, engine="scan")
+    a_b2, _, _ = compiled.render(n, params=params, state=st_b, key=keys,
+                                 batched=True, engine="block")
+    np.testing.assert_allclose(np.asarray(a_b2), np.asarray(a_s2),
+                               atol=5e-6, rtol=0)
+
+
+def test_buffer_feedback_block_matches_oracle():
+    """Cross-FM + filter-feedback patch in buffer mode on the block engine
+    matches the NumPy oracle's literal reference semantics."""
+    from srack_tpu.oracle import oracle_render
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="exact", buffer_feedback=True)
+    patch = presets.feedback_patch(cfg)
+    a_b, _, _ = st.render(patch, 256, engine="block")
+    want = oracle_render(patch, 256)
+    np.testing.assert_allclose(np.asarray(a_b), want, atol=3e-6, rtol=0)
+
+
+def test_freeverb_block_partial_chunk_state_carry():
+    """Regression: renders whose length is not a multiple of the Freeverb
+    chunk size must not push padding into the delay lines -- continued
+    renders stay sample-exact (bug found writing the buffer-mode engine)."""
+    from srack_tpu.modules.freeverb import FREEVERB
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=2,
+                         precision="exact")
+    statics, params = FREEVERB.make(cfg)
+    n = 400
+    rng = np.random.default_rng(0)
+    l = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+    s_ref = FREEVERB.init_state(cfg, statics)
+    ref = []
+    for t in range(n):
+        s_ref, o = FREEVERB.step(cfg, statics, params, s_ref, [l[t], r[t]])
+        ref.append([float(o[0]), float(o[1])])
+    ref = np.array(ref)
+    for sizes in ([64] * 6 + [16], [33, 367], [400]):
+        s = FREEVERB.init_state(cfg, statics)
+        got, pos = [], 0
+        for sz in sizes:
+            s, o = FREEVERB.block(cfg, statics, params, s,
+                                  [l[pos:pos + sz], r[pos:pos + sz]],
+                                  None, sz)
+            got.append(np.stack([np.asarray(o[0]), np.asarray(o[1])], 1))
+            pos += sz
+        np.testing.assert_allclose(np.concatenate(got), ref,
+                                   atol=1e-12, rtol=0)

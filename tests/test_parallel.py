@@ -74,3 +74,38 @@ def test_sharded_training_step_runs_and_reduces():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] <= losses[0]
+
+
+def test_sharded_fast_train_step_matches_scan_gradients():
+    """The Pallas-VJP path sharded with shard_map over the batch axis
+    (pallas_call itself is not SPMD-partitionable) takes the same
+    optimizer step as scan autodiff."""
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patch = presets.subtractive_voice(cfg)
+    compiled = st.compile_patch(patch)
+    mesh = make_mesh()
+    n, v = 256, 16
+    ts = SoundMatcher(patch, n).init()
+    opt = optax.sgd(1e-2)
+
+    from srack_tpu.parallel.mesh import batch_sharding, replicated
+    bsh, rep = batch_sharding(mesh), replicated(mesh)
+    targets = jax.device_put(
+        jnp.full((v, cfg.channels, n), 0.1, jnp.float32), bsh)
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(1), v), bsh)
+    train = jax.device_put(ts["train"], rep)
+    frozen = jax.device_put(ts["frozen"], rep)
+    o0 = jax.device_put(opt.init(ts["train"]), rep)
+
+    fast = jax.jit(batched_train_step(compiled, opt, n, fast=True,
+                                      mesh=mesh),
+                   in_shardings=(rep, rep, rep, bsh, bsh),
+                   out_shardings=(rep, rep, rep))
+    scan = jax.jit(batched_train_step(compiled, opt, n))
+    tf, _, lf = fast(train, frozen, o0, targets, keys)
+    tsc, _, ls = scan(train, frozen, o0, targets, keys)
+    assert abs(float(lf) - float(ls)) < 1e-5
+    for a, b in zip(jax.tree.leaves(tf), jax.tree.leaves(tsc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=0)
