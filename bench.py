@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 import srack_tpu as st
-from srack_tpu.presets import (farm_params, feedback_patch, sequencer_patch,
-                               sine_patch, subtractive_voice)
+from srack_tpu.presets import (drum_machine, farm_params, feedback_patch,
+                               sequencer_patch, sine_patch, subtractive_voice)
 
 BASELINE_SAMPLES_PER_SEC = 4.8e9
 
@@ -98,7 +98,11 @@ def main() -> None:
     for name, patch, n, v in (
         ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
         ("feedback x1024", feedback_patch(cfg), 48000, 1024),
-        ("sequencer x1024 (block engine)", sequencer_patch(cfg), 48000, 1024),
+        # sequencers are register-safe select chains -> fused engine; long
+        # render amortizes the ~28 ms/call transport like the headline
+        ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
+        # sample playback keeps this on the block engine (waveform gathers)
+        ("drums x1024 (block engine)", drum_machine(cfg), 48000, 1024),
     ):
         try:
             bench_config(name, patch, n, v)

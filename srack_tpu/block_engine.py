@@ -54,6 +54,7 @@ SERIAL_TYPES = frozenset({"Moog Filter"})
 PALLAS_SAFE = frozenset({
     "Oscillator", "Noise", "Input", "Moog Filter", "ADSR", "VCA",
     "Mono Mixer", "Add", "Subtract", "Multiply", "Non-Linear", "Output",
+    "Grid Sequencer", "Pattern Sequencer",
 })
 
 

@@ -152,8 +152,12 @@ def _grid_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     sync_in = in_or(ins[1], 0.0)
     cs, step_last, sync_last = _advance_step(state, step_in, sync_in,
                                              params["n_steps"])
-    cell = params["cells"][cs]
-    note = params["notes"][cs]
+    # packed select-chain lookup (same as _grid_block): pure register math,
+    # so the step runs inside the fused Pallas voice kernel where cs is an
+    # (8,128) tile and a real gather would not vectorise
+    packed = table_lookup(params["notes"] * 4 + params["cells"], cs)
+    cell = packed % 4
+    note = packed // 4
     spo = params["steps_per_octave"].astype(CV_DTYPE)
     note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
     on = cell > 0
@@ -238,9 +242,11 @@ def _pat_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     # all 8 rows packed 2 bits each into one int32 table -> one
     # select-chain lookup, rows unpacked elementwise (gather-free)
     cells = params["cells"]
-    weights = jnp.asarray([4 ** r for r in range(N_ROWS)], dtype=jnp.int32)
-    weights = weights.reshape((N_ROWS,) + (1,) * (cells.ndim - 1))
-    packed_tbl = (cells * weights).sum(axis=0)
+    # python-unrolled packing (no materialized weight vector: the fused
+    # Pallas kernel forbids captured constant arrays)
+    packed_tbl = cells[0]
+    for r in range(1, N_ROWS):
+        packed_tbl = packed_tbl + cells[r] * (4 ** r)
     packed = table_lookup(packed_tbl, cs)
     gates = []
     for r in range(N_ROWS):
@@ -261,16 +267,27 @@ def _pat_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     sync_in = in_or(ins[1], 0.0)
     cs, step_last, sync_last = _advance_step(state, step_in, sync_in,
                                              params["n_steps"])
-    col = params["cells"][:, cs]  # [8]
-    gates = jnp.where(col == 2, cv(1.0), jnp.where(col == 1, step_in, cv(0.0)))
+    # 8 rows 2-bit-packed into one table, one select-chain lookup (same as
+    # _pat_block) -- register math for the fused Pallas voice kernel
+    cells = params["cells"]
+    # python-unrolled packing (no materialized weight vector: the fused
+    # Pallas kernel forbids captured constant arrays)
+    packed_tbl = cells[0]
+    for r in range(1, N_ROWS):
+        packed_tbl = packed_tbl + cells[r] * (4 ** r)
+    packed = table_lookup(packed_tbl, cs)
     sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
     new_state = {
         "current_step": cs,
         "step_last": step_last,
         "sync_last": sync_last,
     }
-    outs = tuple(gates[r] for r in range(N_ROWS)) + (sync_out,)
-    return new_state, outs
+    outs = []
+    for r in range(N_ROWS):
+        col = (packed >> (2 * r)) & 3
+        outs.append(jnp.where(col == 2, cv(1.0),
+                              jnp.where(col == 1, step_in, cv(0.0))))
+    return new_state, tuple(outs) + (sync_out,)
 
 
 _pat_nin, _pat_inlabels = const_ports(2, ("Step", "Sync"))

@@ -78,11 +78,40 @@ def _stage_len(p0, inc):
     return best
 
 
+# chunk size for long renders: the fills below materialize O(log C)
+# temporaries of the chunk's size, so the whole-render working set must be
+# bounded (an unchunked 48k-sample render at 1k voices peaked at >100 GB of
+# XLA temporaries).  Chunks chain exactly -- the machinery is carried-state
+# exact (proven bitwise by the buffer-mode engine tests at 64-sample blocks).
+CHUNK = 2048
+
+
 def adsr_block(cfg, params, state, ins, n):
+    lane = state["r_val"].shape
+    gate = block_lane(ins[0], lane, n)
+    full, rem = divmod(n, CHUNK)
+    if full < 2:
+        return _adsr_block_impl(cfg, params, state, gate, n)
+
+    g = gate[:full * CHUNK].reshape((full, CHUNK) + gate.shape[1:])
+
+    def body(st, gc):
+        st2, (o,) = _adsr_block_impl(cfg, params, st, gc, CHUNK)
+        return st2, o
+
+    state, outs = jax.lax.scan(body, state, g)
+    outs = outs.reshape((full * CHUNK,) + gate.shape[1:])
+    if rem:
+        state, (tail,) = _adsr_block_impl(cfg, params, state,
+                                          gate[full * CHUNK:], rem)
+        outs = jnp.concatenate([outs, tail], axis=0)
+    return state, (outs,)
+
+
+def _adsr_block_impl(cfg, params, state, gate, n):
     from ..modules.adsr import adsr_out_law, stage_incs
 
     lane = state["r_val"].shape
-    gate = block_lane(ins[0], lane, n)
     h = gate > 0.0
     gate_last_new, f = block_transitions(state["gate_last"], gate)
     h_prev = _prev(h, state["gate_last"])

@@ -37,10 +37,13 @@ SUBLANES = 8
 TILE_VOICES = LANES * SUBLANES  # 1024
 
 # module types whose per-sample step is pure register math (no per-voice
-# table gathers, no ragged delay lines)
+# table gathers, no ragged delay lines).  The sequencers qualify because
+# their table reads are K-way select chains over the carried step counter
+# (modules/sequencer.py), not gathers.
 REGISTER_TYPES = frozenset({
     "Oscillator", "Noise", "Input", "Moog Filter", "ADSR", "VCA",
     "Mono Mixer", "Add", "Subtract", "Multiply", "Non-Linear", "Output",
+    "Grid Sequencer", "Pattern Sequencer",
 })
 
 

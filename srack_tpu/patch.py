@@ -110,6 +110,20 @@ class Patch:
     def disconnect_all(self, module: ModuleRef) -> None:
         self[module].inputs = [None] * len(self[module].inputs)
 
+    def disconnect_output(self, src: ModuleRef, src_port) -> None:
+        """Disconnect every sink fed by ``src``'s output port.
+
+        The reference's right-click-an-output gesture (ui.rs:552-567):
+        walks all modules and clears any input wired to (src, port).
+        """
+        src_i = self[src]
+        spi = src_i.mdef.port_index(self.config, src_i.statics, src_port,
+                                    output=True)
+        for inst in self._modules.values():
+            inst.inputs = [
+                None if c == (src_i.id, spi) else c for c in inst.inputs
+            ]
+
     def delete_module(self, module: ModuleRef) -> None:
         mid = _mid(module)
         if self.output is not None and self.output.id == mid:

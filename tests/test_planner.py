@@ -85,3 +85,21 @@ def test_no_output_raises():
     p.add("Oscillator")
     with pytest.raises(ValueError):
         plan_execution(p)
+
+
+def test_disconnect_output_clears_all_sinks():
+    """Right-click-an-output disconnects every sink it feeds
+    (ui.rs:552-567)."""
+    p = st.Patch(st.AudioConfig(channels=1))
+    osc = p.add("Oscillator")
+    a = p.add("Add")
+    b = p.add("Multiply")
+    p.connect(osc, "Sine", a, "In1")
+    p.connect(osc, "Sine", b, "In1")
+    p.connect(osc, "Square", b, "In2")   # different port: must survive
+    p.connect(a, 0, p.output, 0)
+    p.disconnect_output(osc, "Sine")
+    assert p[a].inputs[0] is None
+    assert p[b].inputs[0] is None
+    assert p[b].inputs[1] == (osc.id, 1)  # Square wire untouched
+    assert p[p.output].inputs[0] == (a.id, 0)
