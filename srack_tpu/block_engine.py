@@ -341,11 +341,13 @@ class BlockProgram:
 
         def run(params, state, keys, drivers):
             v = jax.tree.leaves(params)[0].shape[0]
+            xs_params = params
+            params = compiled.derived_params(params)
 
             # hoisted per-sample lanes
             def one_xs(p, k):
                 return compiled._make_xs(p, k, n, drivers={})
-            xs = jax.vmap(one_xs)(params, keys)
+            xs = jax.vmap(one_xs)(xs_params, keys)
             for mid_h, arr in (drivers or {}).items():
                 xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
 
@@ -546,6 +548,7 @@ class BlockProgram:
             def one_xs(p, k):
                 return compiled._make_xs(p, k, n, drivers={})
             xs = jax.vmap(one_xs)(params, keys)
+            params = compiled.derived_params(params)
             for mid_h, arr in (drivers or {}).items():
                 xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
 

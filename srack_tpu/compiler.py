@@ -101,6 +101,23 @@ class CompiledPatch:
             fb = {k: jnp.zeros((), dtype=CV_DTYPE) for k in self.fb_keys}
         return {"states": states, "fb": fb}
 
+    def derived_params(self, params: dict) -> dict:
+        """Merge each module's per-render derived params (ModuleDef.derive).
+
+        Applied once per render call, outside the per-sample loop: Mosaic
+        does not hoist loop-invariant math, so reciprocals/filter
+        coefficients recomputed inside the sample loop are real per-sample
+        cost.  Pure jnp, differentiable, broadcasts over batched leaves.
+        """
+        out = {}
+        for mid, (mdef, statics, inputs) in self.instances.items():
+            pd = params[mid]
+            if mdef.derive is not None:
+                connected = tuple(c is not None for c in inputs)
+                pd = {**pd, **mdef.derive(self.cfg, statics, pd, connected)}
+            out[mid] = pd
+        return out
+
     # -- xs (hoisted per-sample inputs) --------------------------------------
 
     def _make_xs(self, params: dict, key, n: int, drivers: dict) -> dict:
@@ -210,6 +227,7 @@ class CompiledPatch:
 
         def run(params, state, key, drivers):
             xs = self._make_xs(params, key, n, drivers)
+            params = self.derived_params(params)
             if self.cfg.buffer_feedback:
                 return self._render_buffer_mode(params, state, xs, n)
             return self._render_sample_mode(params, state, xs, n)
@@ -254,9 +272,12 @@ class CompiledPatch:
                 if not fused.eligible(self):
                     raise ValueError(
                         "patch not eligible for the fused kernel (needs fast "
-                        "precision, per-sample feedback, no probes, and only "
-                        f"register-friendly modules: {sorted(fused.REGISTER_TYPES)})")
-                fn = jax.jit(fused.make_fused_render(self, n))
+                        "precision, no probes, and only register-friendly "
+                        f"modules: {sorted(fused.REGISTER_TYPES)})")
+                if self.cfg.buffer_feedback:
+                    fn = jax.jit(fused.make_fused_render_buffer(self, n))
+                else:
+                    fn = jax.jit(fused.make_fused_render(self, n))
             elif engine == "block":
                 from . import block_engine
                 if not block_engine.eligible(self):
@@ -291,6 +312,7 @@ class CompiledPatch:
         -> (audio, probes, final_state)``.
         """
         use_fused = (batched and self.fused_eligible()
+                     and not self.cfg.buffer_feedback
                      and jax.default_backend() == "tpu")
         if use_fused:
             from .ops import fused_vjp

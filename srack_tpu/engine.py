@@ -126,12 +126,17 @@ def render_long(patch: Patch, n_samples: int, *,
     return out, state
 
 
-def render_many(patches: Sequence[Patch], n_samples: int, *, key=None):
+def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
+                mesh=None):
     """Render many patches of possibly *different* topologies.
 
     Patches are grouped by compiled topology (same program => one vmapped
     batch, SURVEY.md §7 step 6); each group renders in a single batched
     call.  Returns a list of ``[channels, n]`` arrays in input order.
+
+    With ``mesh``, topology groups are placed round-robin on the mesh's
+    devices: dispatch is async, so heterogeneous groups execute
+    *concurrently* across chips instead of serializing on one.
     """
     groups: dict = {}
     for i, p in enumerate(patches):
@@ -141,14 +146,24 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None):
         key = jax.random.PRNGKey(0)
     elif isinstance(key, int):
         key = jax.random.PRNGKey(key)
+    devices = list(mesh.devices.flat) if mesh is not None else None
     for gi, idxs in enumerate(groups.values()):
         sub = jax.random.fold_in(key, gi)
+
+        def place(tree):
+            if devices is None:
+                return tree
+            dev = devices[gi % len(devices)]
+            return jax.tree.map(lambda a: jax.device_put(a, dev), tree)
+
         if len(idxs) == 1:
             i = idxs[0]
-            audio, _, _ = render(patches[i], n_samples, key=sub)
+            audio, _, _ = render(patches[i], n_samples, key=sub,
+                                 params=place(patches[i].params()))
             results[i] = audio
         else:
-            stacked = stack_params([patches[i].params() for i in idxs])
+            stacked = place(stack_params([patches[i].params()
+                                          for i in idxs]))
             audio, _, _ = render_batch(patches[idxs[0]], n_samples,
                                        params=stacked, key=sub)
             for j, i in enumerate(idxs):

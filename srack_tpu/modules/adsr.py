@@ -65,11 +65,23 @@ def _init_state(cfg: AudioConfig, statics):
 
 
 def stage_incs(params, sample_rate):
-    """Per-stage phase increments ``1/(sr * t_sec)`` (adsr.rs:143,166,183)."""
+    """Per-stage phase increments ``1/(sr * t_sec)`` (adsr.rs:143,166,183).
+
+    Reads the derived entries when present (three reciprocals per sample
+    are real VPU cost -- Mosaic does not hoist them)."""
+    if "inc_a" in params:
+        return params["inc_a"], params["inc_d"], params["inc_r"]
     sr = jnp.asarray(sample_rate, dtype=CV_DTYPE)
     return (1.0 / (sr * params["a_sec"]),
             1.0 / (sr * params["d_sec"]),
             1.0 / (sr * params["r_sec"]))
+
+
+def _derive(cfg: AudioConfig, statics, params, connected):
+    sr = jnp.asarray(cfg.sample_rate, dtype=CV_DTYPE)
+    return {"inc_a": 1.0 / (sr * params["a_sec"]),
+            "inc_d": 1.0 / (sr * params["d_sec"]),
+            "inc_r": 1.0 / (sr * params["r_sec"])}
 
 
 def adsr_step_core(params, state, gate, sample_rate):
@@ -194,4 +206,5 @@ ADSR = ModuleDef(
     init_state=_init_state,
     step=_step,
     block=_block,
+    derive=_derive,
 )

@@ -68,6 +68,13 @@ class ModuleDef:
     # Optional whole-block implementation used by the block-mode engine:
     # (cfg, statics, params, state, ins_blocks, xs) -> (state, out_blocks)
     block: Optional[Callable[..., tuple]] = None
+    # Optional per-render derived params, computed ONCE outside the
+    # per-sample loop and merged into params before any step/block runs:
+    # (cfg, statics, params, connected: tuple[bool]) -> dict.
+    # Mosaic does NOT hoist loop-invariant math out of the sample loop
+    # (measured: in-loop reciprocals cost ~2x), so anything a step
+    # recomputes per sample from params alone belongs here.
+    derive: Optional[Callable[..., dict]] = None
 
     def port_index(self, cfg: AudioConfig, statics: Statics, port, *, output: bool) -> int:
         """Resolve a port given by index or label to an index."""

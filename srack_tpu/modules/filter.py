@@ -36,17 +36,24 @@ def _init_state(cfg: AudioConfig, statics):
     return {"b": jnp.zeros((5,), dtype=CV_DTYPE)}
 
 
-def moog_stage(b, audio, frequency, res):
+def moog_coefs(frequency, res):
+    """Coefficients from normalised cutoff + resonance (filter.rs:59-68).
+
+    Split from the ladder so unmodulated filters hoist this chain out of
+    the per-sample loop via ModuleDef.derive (Mosaic does not LICM it)."""
+    q0 = 1.0 - frequency
+    p = frequency + 0.8 * frequency * q0
+    f = p * 2.0 - 1.0
+    q = res * (1.0 + 0.5 * q0 * (1.0 - q0 + 5.6 * q0 * q0))
+    return p, f, q
+
+
+def moog_stage(b, audio, p, f, q):
     """One sample of the ladder core.  ``b`` is the [5] stage vector.
 
     Returns (new_b, lp, hp, bp).  Kept standalone so the block-mode engine
     and the Pallas voice kernel reuse the identical math.
     """
-    q0 = 1.0 - frequency
-    p = frequency + 0.8 * frequency * q0
-    f = p * 2.0 - 1.0
-    q = res * (1.0 + 0.5 * q0 * (1.0 - q0 + 5.6 * q0 * q0))
-
     b0, b1, b2, b3, b4 = b[0], b[1], b[2], b[3], b[4]
     x = audio - q * b4
     nb1 = (x + b0) * p - b1 * f
@@ -62,12 +69,30 @@ def moog_stage(b, audio, frequency, res):
     return new_b, lp, hp, bp
 
 
+def _derive(cfg: AudioConfig, statics, params, connected):
+    res = jnp.clip(params["res"], 0.0, 1.0)
+    out = {"res_clip": res}
+    if len(connected) < 2 or not connected[1]:
+        # CV unconnected: the whole coefficient chain is loop-invariant
+        frequency = jnp.clip(params["freq"], 0.0, 0.9)
+        p, f, q = moog_coefs(frequency, res)
+        out.update({"moog_p": p, "moog_f": f, "moog_q": q})
+    return out
+
+
 def _step(cfg: AudioConfig, statics, params, state, ins, x=None):
     audio = in_or(ins[0], 0.0)
-    cv_in = in_or(ins[1], 0.0)
-    frequency = jnp.clip(params["freq"] + cv_in * params["exp_amt"], 0.0, 0.9)
-    res = jnp.clip(params["res"], 0.0, 1.0)
-    new_b, lp, hp, bp = moog_stage(state["b"], audio, frequency, res)
+    if ins[1] is None and "moog_p" in params:
+        p, f, q = params["moog_p"], params["moog_f"], params["moog_q"]
+    else:
+        cv_in = in_or(ins[1], 0.0)
+        res = params.get("res_clip")
+        if res is None:
+            res = jnp.clip(params["res"], 0.0, 1.0)
+        frequency = jnp.clip(params["freq"] + cv_in * params["exp_amt"],
+                             0.0, 0.9)
+        p, f, q = moog_coefs(frequency, res)
+    new_b, lp, hp, bp = moog_stage(state["b"], audio, p, f, q)
     return {"b": new_b}, (lp, bp, hp)
 
 
@@ -83,4 +108,5 @@ MOOG_FILTER = ModuleDef(
     output_labels=_outlabels,
     init_state=_init_state,
     step=_step,
+    derive=_derive,
 )

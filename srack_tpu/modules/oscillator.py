@@ -27,9 +27,9 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_transitions, delta_to_fixed, fast_cumsum,
-                         forward_fill, phase_fixed_init,
-                         phase_fixed_to_float, poly_blep, t_index,
-                         transition, transition_init)
+                         fast_exp2, fast_sinpi, forward_fill,
+                         phase_fixed_init, phase_fixed_to_float, poly_blep,
+                         signed_turns, t_index, transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -63,12 +63,15 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     else:
         pos_i = jnp.where(fired, jnp.int32(0), state["pos"])
         octs = params["val"] if cv_in is None else cv_in + params["val"]
-        delta = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
+        delta = (440.0 * fast_exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
         pos_f = phase_fixed_to_float(pos_i)
         new_pos = pos_i + delta_to_fixed(delta)  # wraps exactly mod 2^32
 
-    two_pi = 2.0 * jnp.pi
-    sine = jnp.sin(pos_f * two_pi).astype(CV_DTYPE)
+    if cfg.exact:
+        sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+    else:
+        # polynomial sine straight off the signed fixed-point phase
+        sine = fast_sinpi(signed_turns(pos_i)).astype(CV_DTYPE)
 
     naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
     naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
@@ -128,7 +131,7 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         next_pos = jnp.mod(next_pos, 1.0)
     else:
         octs = params["val"] if cv_in is None else cv_in + params["val"]
-        delta_f = (440.0 * jnp.exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
+        delta_f = (440.0 * fast_exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
         dfix = delta_to_fixed(delta_f)
         if cv_in is None:
             excl = dfix * tidx  # int32 multiply wraps exactly mod 2^32
@@ -152,7 +155,10 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         pos_f = phase_fixed_to_float(pos_acc)
         delta = delta_f
 
-    sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+    if cfg.exact:
+        sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+    else:
+        sine = fast_sinpi(signed_turns(pos_acc)).astype(CV_DTYPE)
     naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
     naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
     if antialias:

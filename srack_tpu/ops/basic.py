@@ -237,6 +237,56 @@ def delta_to_fixed(delta: jnp.ndarray) -> jnp.ndarray:
                      (u - _TWO32).astype(jnp.int32))
 
 
+# sin(pi*s) odd minimax coefficients on [-1, 1], max abs err 5.9e-6 --
+# ~170 dB below full scale, far inside the fast-mode drift budget
+# (tests/test_precision.py bounds fast-vs-exact at 1e-3 over one second)
+_SINPI_ODD = (3.1415278983587682, -5.166401774862824, 2.5427129265355948,
+              -0.5818593382178273, 0.0640261396169806)
+
+# exp2 fractional-part minimax on [0, 1), deg 6, max rel err 1.9e-9 --
+# pitch error accumulates linearly with render time, so this must sit well
+# under the fixed-point delta quantisation (~6e-8 relative)
+_EXP2_COEF = (1.0000000018561317, 0.6931469838082407, 0.24022983671380171,
+              0.05548333989618637, 0.009678845362499107,
+              0.0012439646470418081, 0.00021702400581973962)
+
+
+def signed_turns(pos: jnp.ndarray) -> jnp.ndarray:
+    """int32 fixed-point phase -> signed turns in [-1, 1).
+
+    The two's-complement bit pattern read as a *signed* fraction of a cycle
+    differs from the unsigned phase by exactly one cycle on [0.5, 1), which
+    drops out of any 1-periodic wave -- no wrap fixup needed."""
+    return pos.astype(jnp.float32) * (1.0 / 2147483648.0)
+
+
+def fast_sinpi(s: jnp.ndarray) -> jnp.ndarray:
+    """sin(pi*s) for s in [-1, 1]: 5-term odd polynomial (~10 VPU ops vs
+    the libm-grade range reduction XLA emits for sin)."""
+    z = s * s
+    p = jnp.asarray(_SINPI_ODD[4], s.dtype)
+    for k in (3, 2, 1, 0):
+        p = p * z + _SINPI_ODD[k]
+    return s * p
+
+
+def fast_exp2(x: jnp.ndarray) -> jnp.ndarray:
+    """2**x: deg-6 polynomial on the fractional part + exponent-bit scale.
+
+    The integer part becomes float exponent bits directly (a bitcast, not a
+    value conversion -- Mosaic legalizes it); inputs are clamped to the
+    normal-number range, generous for audio pitch CV."""
+    x = jnp.clip(x, -126.0, 126.0)
+    xi = jnp.floor(x)
+    f = x - xi
+    p = jnp.asarray(_EXP2_COEF[6], x.dtype)
+    for k in (5, 4, 3, 2, 1, 0):
+        p = p * f + _EXP2_COEF[k]
+    e = (xi.astype(jnp.int32) + 127) << 23
+    scale = jax.lax.bitcast_convert_type(e, jnp.float32)
+    return p * scale
+
+
 def poly_blep(t: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
     """polyBLEP band-limiting correction.
 

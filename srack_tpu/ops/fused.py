@@ -48,8 +48,9 @@ REGISTER_TYPES = frozenset({
 
 
 def eligible(compiled) -> bool:
-    """Can this compiled patch run on the fused kernel?"""
-    if compiled.cfg.exact or compiled.cfg.buffer_feedback or compiled.probes:
+    """Can this compiled patch run on the fused kernel?  (buffer-feedback
+    compat mode runs via :func:`make_fused_render_buffer`.)"""
+    if compiled.cfg.exact or compiled.probes:
         return False
     return all(mdef.type_name in REGISTER_TYPES
                for mdef, _, _ in compiled.instances.values())
@@ -113,6 +114,7 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
         # [V, T] -> [T, tiles, 8, 128] (rest dims first, voice tiles last)
         xs_t = {m: _to_tiles(a, v, vp) for m, a in xs.items()}
 
+        params = compiled.derived_params(params)
         params_leaves, params_def = jax.tree.flatten(params)
         state_leaves, state_def = jax.tree.flatten(state)
         p_dtypes = [l.dtype for l in params_leaves]
@@ -240,5 +242,197 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                         for l, d in zip(s_out, s_dtypes)]
         final_state = jax.tree.unflatten(state_def, final_leaves)
         return audio, {}, final_state
+
+    return run
+
+
+def make_fused_render_buffer(compiled, n: int, t_chunk: int = 512,
+                             unroll: int = 8, interpret: bool = None):
+    """Buffer-feedback compat mode on the fused voice kernel.
+
+    The reference's previous-*buffer* feedback timing (synth.rs:168-192)
+    needs each feedback read delayed by ``block_size`` samples -- too much
+    history for registers.  Instead the kernel runs one block per
+    invocation with the previous block's fb wires streamed in like xs lanes
+    and this block's fb values streamed out; an outer ``lax.scan`` chains
+    blocks (state round-trips HBM once per block: ~KBs, negligible).
+    """
+    cfg = compiled.cfg
+    block = cfg.block_size
+    if n % block != 0:
+        raise ValueError(
+            f"buffer_feedback mode renders whole blocks: n={n} is not a "
+            f"multiple of block_size={block}")
+    n_blocks = n // block
+    t_chunk = min(t_chunk, block)
+    if t_chunk % unroll:
+        unroll = 1
+    bp = _ceil_to(block, t_chunk)
+    n_chunks = bp // t_chunk
+    n_channels = cfg.channels
+    fb_keys = sorted(compiled.fb_keys)
+    n_fb = len(fb_keys)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def run(params, state, keys, drivers):
+        v = jax.tree.leaves(params)[0].shape[0]
+        vp = _ceil_to(max(v, 1), TILE_VOICES)
+        n_tiles = vp // TILE_VOICES
+
+        def one_xs(p, k):
+            return compiled._make_xs(p, k, n, drivers={})
+        xs = jax.vmap(one_xs)(params, keys)  # {mid: [V, n]}
+        for mid_h, arr in (drivers or {}).items():
+            xs[mid_h] = jnp.asarray(arr, dtype=CV_DTYPE)
+        xs_keys = sorted(xs)
+        # [V, n] -> [n_blocks, bp(padded), tiles, 8, 128]
+        def blocked(a):
+            t = _to_tiles(a, v, vp)  # [n, tiles, 8, 128]
+            t = t.reshape((n_blocks, block) + t.shape[1:])
+            if bp != block:
+                pad = [(0, 0)] * t.ndim
+                pad[1] = (0, bp - block)
+                t = jnp.pad(t, pad)
+            return t
+        xs_tiled = [blocked(xs[m]) for m in xs_keys]
+
+        params = compiled.derived_params(params)
+        params_leaves, params_def = jax.tree.flatten(params)
+        states_leaves, states_def = jax.tree.flatten(state["states"])
+        p_dtypes = [l.dtype for l in params_leaves]
+        s_dtypes = [l.dtype for l in states_leaves]
+        p_tiled = [_to_tiles(l, v, vp) for l in params_leaves]
+        s_tiled0 = tuple(_to_tiles(l, v, vp) for l in states_leaves)
+        # fb lanes [V, block] -> [bp, tiles, 8, 128]
+        def fb_tiles(a):
+            t = _to_tiles(a, v, vp)
+            if bp != block:
+                pad = [(0, 0)] * t.ndim
+                pad[0] = (0, bp - block)
+                t = jnp.pad(t, pad)
+            return t
+        fb_tiled0 = tuple(fb_tiles(state["fb"][k]) for k in fb_keys)
+
+        n_p, n_s, n_x = len(p_tiled), len(s_tiled0), len(xs_tiled)
+
+        def kernel(*refs):
+            p_refs = refs[:n_p]
+            s_refs = refs[n_p:n_p + n_s]
+            x_refs = refs[n_p + n_s:n_p + n_s + n_x]
+            fb_refs = refs[n_p + n_s + n_x:n_p + n_s + n_x + n_fb]
+            base = n_p + n_s + n_x + n_fb
+            audio_refs = refs[base:base + n_channels]
+            fbout_refs = refs[base + n_channels:base + n_channels + n_fb]
+            sout_refs = refs[base + n_channels + n_fb:
+                             base + n_channels + n_fb + n_s]
+            scratches = refs[base + n_channels + n_fb + n_s:]
+
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                for sc, sr in zip(scratches, s_refs):
+                    sc[...] = sr[...].reshape(sc.shape)
+
+            def squeeze_tile(x):
+                return x.reshape(x.shape[:-3] + (SUBLANES, LANES))
+
+            p_vals = [squeeze_tile(r[...]).astype(d)
+                      for r, d in zip(p_refs, p_dtypes)]
+            params_k = jax.tree.unflatten(params_def, p_vals)
+            carry0 = tuple(sc[...] for sc in scratches)
+
+            def body(i, carry):
+                vals = [c.astype(d) if d == jnp.bool_ else c
+                        for c, d in zip(carry, s_dtypes)]
+                st = jax.tree.unflatten(states_def, vals)
+                x_t = {m: x_refs[j][i, 0] for j, m in enumerate(xs_keys)}
+                fb_t = {k: fb_refs[j][i, 0] for j, k in enumerate(fb_keys)}
+                new_states, fb_out, audio, _ = compiled._sample_step(
+                    params_k, st, fb_t, x_t)
+                for c in range(n_channels):
+                    audio_refs[c][i, 0] = audio[c]
+                for j, k in enumerate(fb_keys):
+                    fbout_refs[j][i, 0] = fb_out[k]
+                out = []
+                for leaf, ref in zip(jax.tree.leaves(new_states), carry):
+                    out.append(jnp.broadcast_to(leaf, ref.shape)
+                               .astype(ref.dtype))
+                return tuple(out)
+
+            def body_u(j, carry):
+                base_i = j * unroll
+                for u in range(unroll):
+                    carry = body(base_i + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
+            for sc, val, sr in zip(scratches, carry, sout_refs):
+                sc[...] = val.reshape(sc.shape)
+                sr[...] = sc[...].reshape(sr.shape)
+
+        def tile_spec(leaf):
+            rest = leaf.shape[:-3]
+            blk = rest + (1, SUBLANES, LANES)
+            zeros = (0,) * len(rest)
+            return pl.BlockSpec(
+                blk, lambda vtile, tc, z=zeros: z + (vtile, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        def lane_spec():
+            return pl.BlockSpec(
+                (t_chunk, 1, SUBLANES, LANES),
+                lambda vtile, tc: (tc, vtile, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        in_specs = ([tile_spec(l) for l in p_tiled]
+                    + [tile_spec(l) for l in s_tiled0]
+                    + [lane_spec() for _ in range(n_x + n_fb)])
+        out_specs = ([lane_spec()] * (n_channels + n_fb)
+                     + [tile_spec(l) for l in s_tiled0])
+        out_shape = (
+            [jax.ShapeDtypeStruct((bp, n_tiles, SUBLANES, LANES), CV_DTYPE)
+             for _ in range(n_channels + n_fb)]
+            + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in s_tiled0])
+        scratch_shapes = [
+            pltpu.VMEM(l.shape[:-3] + (SUBLANES, LANES), l.dtype)
+            for l in s_tiled0]
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_chunks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )
+
+        def outer(carry, xs_b):
+            s_t, fb_t = carry
+            outs = call(*p_tiled, *s_t, *xs_b, *fb_t)
+            audio_b = outs[:n_channels]
+            fb_new = tuple(outs[n_channels:n_channels + n_fb])
+            s_new = tuple(outs[n_channels + n_fb:])
+            return (s_new, fb_new), tuple(audio_b)
+
+        (s_fin, fb_fin), audio_bt = jax.lax.scan(
+            outer, (s_tiled0, fb_tiled0), tuple(xs_tiled),
+            length=n_blocks)
+        # audio_bt: n_channels x [n_blocks, bp, tiles, 8, 128]
+        chans = []
+        for a in audio_bt:
+            a = a[:, :block].reshape((n,) + a.shape[2:])
+            chans.append(_from_tiles(a, v, CV_DTYPE))
+        audio = jnp.stack(chans, axis=1)
+        final_states = jax.tree.unflatten(
+            states_def,
+            [_from_tiles(l, v, d) for l, d in zip(s_fin, s_dtypes)])
+        final_fb = {k: _from_tiles(l[:block], v, CV_DTYPE)
+                    for k, l in zip(fb_keys, fb_fin)}
+        return audio, {}, {"states": final_states, "fb": final_fb}
 
     return run

@@ -439,4 +439,11 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
         return dparams, dstate, dkeys, ddrivers
 
     render.defvjp(render_fwd, render_bwd)
-    return render
+
+    def render_derived(params, state, keys, drivers):
+        # derive per-render params OUTSIDE the custom_vjp so autodiff
+        # chains derived-param cotangents back to the raw params (the
+        # hand-written backward only knows the kernel's own inputs)
+        return render(compiled.derived_params(params), state, keys, drivers)
+
+    return render_derived

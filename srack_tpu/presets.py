@@ -222,7 +222,9 @@ def drum_machine(cfg: AudioConfig | None = None) -> Patch:
                 wav_sample_rate=cfg.sample_rate, name="hat")
     p.connect(pat, "2", hat, "Gate")
 
-    mix = p.add("Mono Mixer", gains=(1.2, 0.8, 0.5, 0.0), name="mix")
+    # bus peaks ~0.96/1.13/0.81; gains keep the (non-overlapping-heavy)
+    # mix inside full scale
+    mix = p.add("Mono Mixer", gains=(0.5, 0.35, 0.3, 0.0), name="mix")
     p.connect(kick_vca, 0, mix, 0)
     p.connect(sn_vca, 0, mix, 1)
     p.connect(hat, 0, mix, 2)

@@ -83,3 +83,34 @@ def test_fused_vjp_interpret_matches_scan_grads():
                                    atol=1e-8 + 1e-4 * np.abs(b64).max())
         nonzero += np.abs(b64).max() > 0
     assert nonzero >= 4  # gradients actually flowed
+
+
+def test_fused_buffer_feedback_matches_scan_and_oracle():
+    """Buffer-feedback compat mode on the fused kernel (per-block kernel
+    invocations under an outer scan, fb wires streamed like xs lanes)
+    matches the scan engine and the oracle, including continued renders."""
+    from srack_tpu import presets
+    from srack_tpu.oracle import oracle_render
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast", buffer_feedback=True)
+    patch = presets.feedback_patch(cfg)
+    compiled = st.compile_patch(patch)
+    n, v = 192, 2
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    a_s, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                batched=True, engine="scan")
+    fn = jax.jit(fused.make_fused_render_buffer(compiled, n))
+    a_f, _, st_f = fn(params, state, keys, {})
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_s),
+                               atol=3e-6, rtol=0)
+    # continue from the fused final state on the scan engine
+    a_s2, _, _ = compiled.render(n, params=params, state=st_f, key=keys,
+                                 batched=True, engine="scan")
+    a_f2, _, _ = fn(params, st_f, keys, {})
+    np.testing.assert_allclose(np.asarray(a_f2), np.asarray(a_s2),
+                               atol=3e-6, rtol=0)
+    want = oracle_render(patch, n)
+    np.testing.assert_allclose(np.asarray(a_f[0]), want, atol=3e-4, rtol=0)

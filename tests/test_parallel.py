@@ -109,3 +109,21 @@ def test_sharded_fast_train_step_matches_scan_gradients():
     for a, b in zip(jax.tree.leaves(tf), jax.tree.leaves(tsc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=0)
+
+
+def test_render_many_mesh_places_groups_on_distinct_devices():
+    """Heterogeneous topology groups dispatch concurrently across mesh
+    devices (round-robin placement; async dispatch overlaps execution)."""
+    mesh = make_mesh()
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patches = [presets.sine_patch(cfg), presets.subtractive_voice(cfg),
+               presets.sine_patch(cfg)]
+    got = st.render_many(patches, 128, key=3, mesh=mesh)
+    want = st.render_many(patches, 128, key=3)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0, rtol=0)
+    # two topology groups -> two distinct devices
+    devs = {next(iter(a.devices())) for a in got}
+    assert len(devs) == 2
