@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Time the drums config on TPU (dev tool; bench.py is the real harness)."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import srack_tpu as st
+from srack_tpu.presets import drum_machine, farm_params
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/srack_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    n, voices = 48000, 1024
+    cfg = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
+                         precision="fast")
+    patch = drum_machine(cfg)
+    compiled = st.compile_patch(patch)
+    params = farm_params(patch, voices)
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (voices,) + a.shape),
+        compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), voices)
+    fn = compiled._get_fn(n, True, "block")
+    t0 = time.perf_counter()
+    out = fn(params, state, keys, {})
+    peak = float(jnp.abs(out[0]).max())
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s peak={peak:.3f}",
+          file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(params, state, keys, {})
+        peak = float(jnp.abs(out[0]).max())
+        best = min(best, time.perf_counter() - t0)
+    print(f"best={best*1e3:.1f}ms rate={n*voices/best/1e9:.3f}G peak={peak:.3f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

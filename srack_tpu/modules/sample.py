@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
-                         forward_fill, transition, transition_init)
+                         forward_fill, table_lookup, transition,
+                         transition_init)
+
+# Waveform reads in the block path go through ops/basic.table_lookup (on
+# TPU: the VMEM-resident Pallas select-chain kernel, ops/scan_kernel) up to
+# this many frames; the chain is O(K) vector ops per sample, so past the
+# cap the XLA gather (~50 M scalar loads/s) wins back.
+from ..ops.scan_kernel import GATHER_MAX_K as SELECT_CHAIN_MAX
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 
@@ -110,7 +117,10 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     crossed = s >= length_f  # monotone within a segment (rate > 0)
 
     idx = jnp.clip(s.astype(jnp.int32), 0, max_len - 1)
-    read = params["samples"][idx]
+    if max_len <= SELECT_CHAIN_MAX:
+        read = table_lookup(params["samples"], idx)
+    else:
+        read = params["samples"][idx]
     first = params["samples"][0]
     out = jnp.where(params["length"] > 0,
                     jnp.where(crossed, first, read), 0.0).astype(CV_DTYPE)

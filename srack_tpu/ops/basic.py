@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import scan_kernel
+
 
 def transition(last_above: jnp.ndarray, val: jnp.ndarray):
     """Rising-edge detector.
@@ -97,11 +99,15 @@ def _log_scan(op, x, axis: int, identity):
 
 def fast_cumsum(x, axis: int = -1):
     axis = axis % x.ndim
+    if scan_kernel.eligible((x,), axis):
+        return scan_kernel.cumsum_1d(x)
     return _log_scan(jnp.add, x, axis, 0)
 
 
 def fast_cummax(x, axis: int = -1):
     axis = axis % x.ndim
+    if scan_kernel.eligible((x,), axis):
+        return scan_kernel.cummax_1d(x)
     if jnp.issubdtype(x.dtype, jnp.integer):
         ident = jnp.iinfo(x.dtype).min
     else:
@@ -118,6 +124,9 @@ def forward_fill(values, mask, axis: int = -1):
     run at scalar speed on TPU).
     """
     axis = axis % values.ndim
+    if scan_kernel.eligible((values, mask), axis):
+        (filled,), ok = scan_kernel.fill_1d((values,), mask)
+        return filled, ok
     n = values.shape[axis]
     val = values
     ok = mask
@@ -139,6 +148,8 @@ def forward_fill_multi(values: tuple, mask, axis: int = -1):
     ``(filled_tuple, any_valid)``.
     """
     axis = axis % mask.ndim
+    if scan_kernel.eligible(tuple(values) + (mask,), axis):
+        return scan_kernel.fill_1d(tuple(values), mask)
     n = mask.shape[axis]
     vals = list(values)
     ok = mask
@@ -162,8 +173,10 @@ def affine_scan(a, b, axis: int = 0):
     Log-doubling: O(log n) fused elementwise passes.
     """
     axis = axis % b.ndim
-    n = b.shape[axis]
     A = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+    if scan_kernel.eligible((A, b), axis):
+        return scan_kernel.affine_1d(A, b)
+    n = b.shape[axis]
     B = b
     shift = 1
     while shift < n:
@@ -184,8 +197,10 @@ def linear_recurrence(a, b, axis: int = -1):
     of the affine maps -- the TPU-parallel form of e.g. the Freeverb comb
     damping filter."""
     axis = axis % b.ndim
-    n = b.shape[axis]
     A = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+    if scan_kernel.eligible((A, b), axis):
+        return scan_kernel.affine_1d(A, b)
+    n = b.shape[axis]
     Y = b
     shift = 1
     while shift < n:
@@ -200,11 +215,19 @@ def linear_recurrence(a, b, axis: int = -1):
 def table_lookup(table, idx):
     """``table[idx]`` for a small static table via a select chain.
 
-    ``table``: [K] (K static, e.g. 64 sequencer steps); ``idx``: int array.
-    XLA gathers lower to scalar loops on TPU (~50M elements/s); K fused
-    elementwise selects run at VPU speed instead.
+    ``table``: [K] (K static, e.g. 64 sequencer steps); ``idx``: int array
+    already in [0, K).  XLA gathers lower to scalar loops on TPU (~50M
+    elements/s); K fused elementwise selects run at VPU speed instead.
+    Long whole-block lookups go to the Pallas kernel
+    (:func:`..ops.scan_kernel.gather_1d`) -- XLA splits a >~100-select
+    chain into several fusions, each bouncing the block through HBM; the
+    kernel keeps the whole chain VMEM-resident.  Short/tile-shaped lookups
+    (per-sample steps inside the fused/serial kernels) keep the inline
+    chain.
     """
     k = table.shape[0]
+    if scan_kernel.gather_eligible(table, idx):
+        return scan_kernel.gather_1d(table, idx)
     acc = jnp.broadcast_to(table[0], idx.shape)
     for j in range(1, k):
         acc = jnp.where(idx == j, table[j], acc)

@@ -222,9 +222,10 @@ def drum_machine(cfg: AudioConfig | None = None) -> Patch:
                 wav_sample_rate=cfg.sample_rate, name="hat")
     p.connect(pat, "2", hat, "Gate")
 
-    # bus peaks ~0.96/1.13/0.81; gains keep the (non-overlapping-heavy)
-    # mix inside full scale
-    mix = p.add("Mono Mixer", gains=(0.5, 0.35, 0.3, 0.0), name="mix")
+    # bus peaks ~0.96/1.13/0.81; hats overlap both kick and snare steps, so
+    # gains are set for the worst-case sum (0.45*0.96+0.3*1.13+0.25*0.81
+    # = 0.97) rather than per-bus peaks
+    mix = p.add("Mono Mixer", gains=(0.45, 0.3, 0.25, 0.0), name="mix")
     p.connect(kick_vca, 0, mix, 0)
     p.connect(sn_vca, 0, mix, 1)
     p.connect(hat, 0, mix, 2)
