@@ -582,5 +582,7 @@ def eligible(compiled) -> bool:
     """The block engine handles every patch the scan engine does, probes
     and buffer-feedback compat mode included (buffer mode runs an outer
     scan over blocks; fb edges read the previous block's lanes, exactly
-    the reference's previous-buffer timing, synth.rs:168-192)."""
-    return True
+    the reference's previous-buffer timing, synth.rs:168-192).  Parameter
+    automation is the exception: whole-block module impls assume constant
+    params, so automated patches run on the scan/fused engines."""
+    return not getattr(compiled, "automation", ())

@@ -46,7 +46,8 @@ def _probe_key(mid: str, port: int) -> str:
 class CompiledPatch:
     """An executable patch: static structure + cached jitted render fns."""
 
-    def __init__(self, patch: Patch, probes: Sequence = ()):
+    def __init__(self, patch: Patch, probes: Sequence = (),
+                 automation: Sequence = ()):
         self.cfg: AudioConfig = patch.config
         self.plan, self.broken = plan_execution(patch)
         self.plan_pos = {mid: i for i, mid in enumerate(self.plan)}
@@ -84,7 +85,38 @@ class CompiledPatch:
             if self.instances[mid][0].make_xs is not None
             or self.instances[mid][0].type_name == "Input"
         )
+
+        # automation lanes: (module, param) pairs promoted from per-render
+        # constants to per-sample xs (the reference has no analogue -- its
+        # sliders are static between UI events, ui.rs:243+; this is the
+        # engine-level "parameter automation" a DAW layers on top).  The
+        # overlay happens in _sample_step, so the scan and fused engines get
+        # exact per-sample semantics; the block engine declines (its
+        # whole-block module impls assume constant params).
+        autos = []
+        for module, pname in automation:
+            mid = module.id if isinstance(module, ModuleHandle) else module
+            if mid not in self.instances:
+                raise KeyError(f"automation target {mid!r} not in patch")
+            leaf = self.default_params[mid].get(pname)
+            if leaf is None:
+                raise KeyError(
+                    f"{mid!r} has no param {pname!r} "
+                    f"(has: {sorted(self.default_params[mid])})")
+            if getattr(leaf, "ndim", 0) != 0:
+                raise ValueError(
+                    f"only scalar params can be automated; {mid}.{pname} "
+                    f"has shape {leaf.shape}")
+            autos.append((mid, pname))
+        self.automation = tuple(sorted(set(autos)))
+        self._auto_by_mid: dict = {}
+        for mid, pname in self.automation:
+            self._auto_by_mid.setdefault(mid, []).append(pname)
         self._fn_cache: dict = {}
+
+    @staticmethod
+    def _auto_key(mid: str, pname: str) -> str:
+        return f"{mid}~{pname}"
 
     # -- state --------------------------------------------------------------
 
@@ -112,7 +144,10 @@ class CompiledPatch:
         out = {}
         for mid, (mdef, statics, inputs) in self.instances.items():
             pd = params[mid]
-            if mdef.derive is not None:
+            # automated modules skip derive: a hoisted value computed from
+            # the (overridden) static param would be stale; their steps fall
+            # back to the in-loop computation
+            if mdef.derive is not None and mid not in self._auto_by_mid:
                 connected = tuple(c is not None for c in inputs)
                 pd = {**pd, **mdef.derive(self.cfg, statics, pd, connected)}
             out[mid] = pd
@@ -136,6 +171,19 @@ class CompiledPatch:
                 xs[mid] = mdef.make_xs(self.cfg, statics, params[mid], sub, n)
             # Input modules without a driver: step() falls back to the
             # constant param; no xs entry.
+        for mid, pname in self.automation:
+            k = self._auto_key(mid, pname)
+            arr = drivers.get(k)
+            if arr is None:
+                # no lane this render: hold the static param value
+                arr = jnp.broadcast_to(params[mid][pname], (n,))
+            else:
+                arr = jnp.asarray(arr, dtype=CV_DTYPE)
+                if arr.shape[-1] != n:
+                    raise ValueError(
+                        f"automation lane {mid}.{pname} has {arr.shape[-1]} "
+                        f"samples, render needs {n}")
+            xs[k] = arr.astype(CV_DTYPE)
         return xs
 
     # -- the fused per-sample body -------------------------------------------
@@ -160,9 +208,15 @@ class CompiledPatch:
                         ins.append(fb_t[(src, sport)])
                     else:
                         ins.append(values[(src, sport)])
+            pd = params[mid]
+            auto = self._auto_by_mid.get(mid)
+            if auto:
+                # per-sample automation overlay: the step sees this sample's
+                # lane value where the static param would be
+                pd = {**pd, **{p: x_t[self._auto_key(mid, p)] for p in auto}}
             with jax.named_scope(f"{mdef.type_name}:{mid}"):
                 new_state, outs = mdef.step(
-                    cfg, statics, params[mid], states[mid], ins,
+                    cfg, statics, pd, states[mid], ins,
                     x_t.get(mid))
             new_states[mid] = new_state
             for p, v in enumerate(outs):
@@ -342,6 +396,7 @@ class CompiledPatch:
 
     def render(self, n_samples: int, *, params: Optional[dict] = None,
                state: Optional[dict] = None, key=None, drivers=None,
+               automation: Optional[dict] = None,
                batched: bool = False, engine: str = "auto"):
         """Render ``n_samples``.
 
@@ -378,6 +433,21 @@ class CompiledPatch:
             for module, arr in drivers.items():
                 mid = module.id if isinstance(module, ModuleHandle) else module
                 drv[mid] = arr
+        if automation:
+            for (module, pname), arr in automation.items():
+                mid = (module.id if isinstance(module, ModuleHandle)
+                       else module)
+                if (mid, pname) not in self.automation:
+                    raise KeyError(
+                        f"({mid!r}, {pname!r}) was not declared at compile "
+                        f"time; pass it in compile_patch(automation=...) / "
+                        f"render(patch, automation=...)")
+                drv[self._auto_key(mid, pname)] = arr
+        if batched and drv:
+            v = jax.tree.leaves(params)[0].shape[0]
+            drv = {k: (jnp.broadcast_to(a, (v,) + jnp.shape(a))
+                       if jnp.ndim(a) == 1 else jnp.asarray(a))
+                   for k, a in drv.items()}
         fn = self._get_fn(int(n_samples), batched, engine)
         return fn(params, state, key, drv)
 
@@ -385,16 +455,22 @@ class CompiledPatch:
 _COMPILE_CACHE: dict = {}
 
 
-def compile_patch(patch: Patch, probes: Sequence = ()) -> CompiledPatch:
+def compile_patch(patch: Patch, probes: Sequence = (),
+                  automation: Sequence = ()) -> CompiledPatch:
     """Compile a patch, cached by topology (module types + statics + wiring;
     param values excluded, so slider edits reuse the compiled program --
-    SURVEY.md §7 hard part e)."""
+    SURVEY.md §7 hard part e).  ``automation``: (module, param) pairs whose
+    values stream per-sample (part of the program structure, hence a compile
+    argument; the arrays themselves go to render)."""
     probes_key = tuple(
         ((m.id if isinstance(m, ModuleHandle) else m), p) for m, p in probes)
-    key = (patch.topology_key(), probes_key)
+    autos_key = tuple(sorted(
+        ((m.id if isinstance(m, ModuleHandle) else m), p)
+        for m, p in automation))
+    key = (patch.topology_key(), probes_key, autos_key)
     cached = _COMPILE_CACHE.get(key)
     if cached is None:
-        cached = CompiledPatch(patch, probes=probes)
+        cached = CompiledPatch(patch, probes=probes, automation=autos_key)
         _COMPILE_CACHE[key] = cached
     else:
         # refresh default params (they may have changed without recompiling)

@@ -27,16 +27,24 @@ from .patch import Patch
 
 def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
            state: Optional[dict] = None, key=None, drivers=None,
+           automation: Optional[dict] = None,
            probes: Sequence = (), engine: str = "auto"):
     """Render ``n_samples`` of a patch offline.
 
     Returns ``(audio, probes, final_state)``; ``audio`` is ``[channels, n]``
     float32.  Mirrors "run the graph for n/block ticks and keep the Output
     module's buffers" in the reference.
+
+    ``automation``: ``{(module, "param"): [n] array}`` -- per-sample
+    automation lanes for any scalar module param (the DAW-style layer the
+    reference's static sliders lack); exact per-sample semantics on the
+    scan and fused engines.
     """
-    compiled = compile_patch(patch, probes=probes)
+    compiled = compile_patch(patch, probes=probes,
+                             automation=tuple(automation or ()))
     return compiled.render(n_samples, params=params, state=state, key=key,
-                           drivers=drivers, engine=engine)
+                           drivers=drivers, automation=automation,
+                           engine=engine)
 
 
 def render_stream(patch: Patch, *, params: Optional[dict] = None,
@@ -173,14 +181,18 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
 
 def render_batch(patch: Patch, n_samples: int, *, params: dict,
                  state: Optional[dict] = None, key=None, drivers=None,
-                 probes: Sequence = ()):
+                 automation: Optional[dict] = None, probes: Sequence = ()):
     """Render a batch of voices of one topology in parallel.
 
     ``params`` must carry a leading voice axis on every leaf (see
     :func:`stack_params` / :func:`replicate_params`).  Returns audio of
     shape ``[voices, channels, n]``.  This is the TPU-native replacement for
     instantiating N module graphs (SURVEY.md §2f: voice batching).
+    ``automation`` lanes may be shared ``[n]`` (broadcast over voices) or
+    per-voice ``[V, n]``.
     """
-    compiled = compile_patch(patch, probes=probes)
+    compiled = compile_patch(patch, probes=probes,
+                             automation=tuple(automation or ()))
     return compiled.render(n_samples, params=params, state=state, key=key,
-                           drivers=drivers, batched=True)
+                           drivers=drivers, automation=automation,
+                           batched=True)

@@ -47,6 +47,21 @@ def _osc_init_state(cfg: AudioConfig, statics):
     return {"pos": pos, "sync_last": transition_init()}
 
 
+def _osc_derive(cfg: AudioConfig, statics, params, connected):
+    """With the CV input unconnected (LFOs, clocks, fixed-pitch voices) the
+    whole frequency chain ``440 * 2^val / sr`` is loop-invariant; hoisting
+    it removes ~10 VPU ops from the per-sample step (Mosaic does not LICM,
+    see ModuleDef.derive)."""
+    if connected and connected[0]:
+        return {}
+    if cfg.exact:
+        val = params["val"].astype(jnp.float64)
+        return {"delta": 440.0 * jnp.exp2(val) / cfg.sample_rate}
+    delta = (440.0 * fast_exp2(params["val"]) / cfg.sample_rate).astype(
+        CV_DTYPE)
+    return {"delta": delta, "dfix": delta_to_fixed(delta)}
+
+
 def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     (_, antialias) = statics
     cv_in, sync_in = ins
@@ -55,17 +70,25 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
 
     if cfg.exact:
         pos = jnp.where(fired, 0.0, state["pos"])
-        val = params["val"].astype(jnp.float64)
-        octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
-        delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate  # f64
+        if cv_in is None and "delta" in params:
+            delta = params["delta"]  # hoisted by _osc_derive
+        else:
+            val = params["val"].astype(jnp.float64)
+            octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
+            delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate  # f64
         pos_f = pos
         new_pos = jnp.mod(pos + delta, 1.0)
     else:
         pos_i = jnp.where(fired, jnp.int32(0), state["pos"])
-        octs = params["val"] if cv_in is None else cv_in + params["val"]
-        delta = (440.0 * fast_exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
+        if cv_in is None and "dfix" in params:
+            delta, dfix = params["delta"], params["dfix"]  # hoisted
+        else:
+            octs = params["val"] if cv_in is None else cv_in + params["val"]
+            delta = (440.0 * fast_exp2(octs)
+                     / cfg.sample_rate).astype(CV_DTYPE)
+            dfix = delta_to_fixed(delta)
         pos_f = phase_fixed_to_float(pos_i)
-        new_pos = pos_i + delta_to_fixed(delta)  # wraps exactly mod 2^32
+        new_pos = pos_i + dfix  # wraps exactly mod 2^32
 
     if cfg.exact:
         sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
@@ -105,9 +128,12 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     tidx = t_index(n, lane)
 
     if cfg.exact:
-        val = params["val"].astype(jnp.float64)
-        octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
-        delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate
+        if cv_in is None and "delta" in params:
+            delta = params["delta"]
+        else:
+            val = params["val"].astype(jnp.float64)
+            octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
+            delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate
         if cv_in is None:
             # constant rate (LFOs, clocks): closed form, no prefix sum
             excl = delta * tidx
@@ -130,9 +156,13 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         pos_f = jnp.mod(pos_acc, 1.0)
         next_pos = jnp.mod(next_pos, 1.0)
     else:
-        octs = params["val"] if cv_in is None else cv_in + params["val"]
-        delta_f = (440.0 * fast_exp2(octs) / cfg.sample_rate).astype(CV_DTYPE)
-        dfix = delta_to_fixed(delta_f)
+        if cv_in is None and "dfix" in params:
+            delta_f, dfix = params["delta"], params["dfix"]
+        else:
+            octs = params["val"] if cv_in is None else cv_in + params["val"]
+            delta_f = (440.0 * fast_exp2(octs)
+                       / cfg.sample_rate).astype(CV_DTYPE)
+            dfix = delta_to_fixed(delta_f)
         if cv_in is None:
             excl = dfix * tidx  # int32 multiply wraps exactly mod 2^32
             incl = excl + dfix
@@ -186,6 +216,7 @@ OSCILLATOR = ModuleDef(
     init_state=_osc_init_state,
     step=_osc_step,
     block=_osc_block,
+    derive=_osc_derive,
 )
 
 

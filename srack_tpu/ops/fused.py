@@ -155,15 +155,13 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
             carry0 = tuple(sc[...] for sc in scratches)
             tile = (SUBLANES, LANES)
 
-            def body(i, carry):
+            def body(u, carry, x_rows):
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
                 st = jax.tree.unflatten(state_def, vals)
-                x_t = {m: x_refs[j][i, 0] for j, m in enumerate(xs_keys)}
+                x_t = {m: x_rows[j][u] for j, m in enumerate(xs_keys)}
                 new_states, fb_out, audio, _ = compiled._sample_step(
                     params_k, st["states"], st["fb"], x_t)
-                for c in range(n_channels):
-                    audio_refs[c][i, 0] = audio[c]
                 new_state = {"states": new_states, "fb": fb_out}
                 # a state leaf fed by an unconnected (constant) input can
                 # collapse to a scalar; broadcast back to the lane tile,
@@ -172,16 +170,26 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                 for leaf, ref in zip(jax.tree.leaves(new_state), carry):
                     leaf = jnp.broadcast_to(leaf, ref.shape)
                     out.append(leaf.astype(ref.dtype))
-                return tuple(out)
+                return tuple(out), audio
 
             # manual unrolling (Pallas fori_loop can't partially unroll)
             # exposes cross-sample ILP: the transcendental-heavy oscillator
             # work for sample t+1 overlaps the filter/envelope recurrences
-            # of sample t
+            # of sample t.  Streamed lanes are read/written once per unroll
+            # group (fewer dynamic VMEM accesses; measured neutral-to-small
+            # vs per-sample accesses -- Mosaic pipelines both well).
             def body_u(j, carry):
                 base = j * unroll
+                x_rows = [x_refs[k][pl.ds(base, unroll), 0]
+                          for k in range(n_x)]
+                auds = []
                 for u in range(unroll):
-                    carry = body(base + u, carry)
+                    carry, audio = body(u, carry, x_rows)
+                    auds.append(audio)
+                for c in range(n_channels):
+                    audio_refs[c][pl.ds(base, unroll), 0] = jnp.stack(
+                        [jnp.broadcast_to(a[c], tile).astype(CV_DTYPE)
+                         for a in auds])
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
@@ -343,28 +351,43 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 512,
             params_k = jax.tree.unflatten(params_def, p_vals)
             carry0 = tuple(sc[...] for sc in scratches)
 
-            def body(i, carry):
+            tile = (SUBLANES, LANES)
+
+            def body(u, carry, x_rows, fb_rows):
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
                 st = jax.tree.unflatten(states_def, vals)
-                x_t = {m: x_refs[j][i, 0] for j, m in enumerate(xs_keys)}
-                fb_t = {k: fb_refs[j][i, 0] for j, k in enumerate(fb_keys)}
+                x_t = {m: x_rows[j][u] for j, m in enumerate(xs_keys)}
+                fb_t = {k: fb_rows[j][u] for j, k in enumerate(fb_keys)}
                 new_states, fb_out, audio, _ = compiled._sample_step(
                     params_k, st, fb_t, x_t)
-                for c in range(n_channels):
-                    audio_refs[c][i, 0] = audio[c]
-                for j, k in enumerate(fb_keys):
-                    fbout_refs[j][i, 0] = fb_out[k]
                 out = []
                 for leaf, ref in zip(jax.tree.leaves(new_states), carry):
                     out.append(jnp.broadcast_to(leaf, ref.shape)
                                .astype(ref.dtype))
-                return tuple(out)
+                return tuple(out), audio, fb_out
 
+            # streamed lanes read/written once per unroll group (see
+            # make_fused_render)
             def body_u(j, carry):
                 base_i = j * unroll
+                x_rows = [x_refs[k][pl.ds(base_i, unroll), 0]
+                          for k in range(n_x)]
+                fb_rows = [fb_refs[k][pl.ds(base_i, unroll), 0]
+                           for k in range(n_fb)]
+                auds, fbs = [], []
                 for u in range(unroll):
-                    carry = body(base_i + u, carry)
+                    carry, audio, fb_out = body(u, carry, x_rows, fb_rows)
+                    auds.append(audio)
+                    fbs.append(fb_out)
+                for c in range(n_channels):
+                    audio_refs[c][pl.ds(base_i, unroll), 0] = jnp.stack(
+                        [jnp.broadcast_to(a[c], tile).astype(CV_DTYPE)
+                         for a in auds])
+                for j2, k in enumerate(fb_keys):
+                    fbout_refs[j2][pl.ds(base_i, unroll), 0] = jnp.stack(
+                        [jnp.broadcast_to(f[k], tile).astype(CV_DTYPE)
+                         for f in fbs])
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)

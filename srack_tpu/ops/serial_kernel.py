@@ -129,33 +129,40 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             # legalize in Mosaic's scf.for); cast at iteration edges
             carry0 = tuple(sc[...] for sc in scratches)
 
-            def body(i, carry):
+            def body(u, carry, x_rows):
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
                 st = jax.tree.unflatten(state_def, vals)
                 if n_x:
-                    row = x_ref[i, :, 0]  # one read: (n_x, 8, 128)
-                    x_t = {k: row[j] for j, k in enumerate(in_keys)}
+                    x_t = {k: x_rows[u, j] for j, k in enumerate(in_keys)}
                 else:
                     x_t = {}
                 new_state, outs = step(params_k, st, x_t)
+                out_row = None
                 if n_outs:
                     out_row = jnp.stack([
                         jnp.broadcast_to(outs[k], (SUBLANES, LANES))
                         .astype(CV_DTYPE) for k in out_keys])
-                    out_ref[i, :, 0] = out_row  # one write: (n_outs, 8, 128)
                 # a leaf fed by an unconnected (constant) input can collapse
                 # to a scalar; broadcast back, store bools as int32
                 out = []
                 for leaf, ref in zip(jax.tree.leaves(new_state), carry):
                     out.append(jnp.broadcast_to(leaf, ref.shape).astype(ref.dtype))
-                return tuple(out)
+                return tuple(out), out_row
 
-            # manual unrolling (Pallas fori_loop can't partially unroll)
+            # manual unrolling (Pallas fori_loop can't partially unroll);
+            # streamed wires are read/written ONCE per unroll group --
+            # per-sample dynamic VMEM accesses are tens of cycles each
             def body_u(j, carry):
                 base_i = j * unroll
+                x_rows = (x_ref[pl.ds(base_i, unroll), :, 0]
+                          if n_x else None)  # (unroll, n_x, 8, 128)
+                rows = []
                 for u in range(unroll):
-                    carry = body(base_i + u, carry)
+                    carry, out_row = body(u, carry, x_rows)
+                    rows.append(out_row)
+                if n_outs:
+                    out_ref[pl.ds(base_i, unroll), :, 0] = jnp.stack(rows)
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
