@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 import srack_tpu as st
 from srack_tpu.presets import (drum_machine, farm_params, feedback_patch,
-                               sequencer_patch, sine_patch, subtractive_voice)
+                               reverb_patch, sequencer_patch, sine_patch,
+                               subtractive_voice)
 
 BASELINE_SAMPLES_PER_SEC = 4.8e9
 
@@ -101,8 +102,10 @@ def main() -> None:
         # sequencers are register-safe select chains -> fused engine; long
         # render amortizes the ~28 ms/call transport like the headline
         ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
-        # sample playback keeps this on the block engine (waveform gathers)
+        # sample playback keeps this on the block engine (waveform reads)
         ("drums x1024 (block engine)", drum_machine(cfg), 48000, 1024),
+        # Freeverb's 12 delay lines per channel, chunk-parallel block impl
+        ("reverb x1024 (block engine)", reverb_patch(cfg), 48000, 1024),
     ):
         try:
             bench_config(name, patch, n, v)

@@ -42,9 +42,16 @@ def _osc_make(cfg: AudioConfig, val: float = 0.0, antialiasing: bool = True):
 def _osc_init_state(cfg: AudioConfig, statics):
     if cfg.exact:
         pos = jnp.asarray(0.0, dtype=jnp.float64)
-    else:
-        pos = phase_fixed_init()
-    return {"pos": pos, "sync_last": transition_init()}
+        return {"pos": pos, "sync_last": transition_init()}
+    # pos_g: gradient-shadow float phase for fast mode.  The int32 phase is
+    # exact but non-differentiable (its tangent type is float0); pos_g is an
+    # unwrapped float accumulator whose *primal contribution to outputs
+    # cancels exactly* (straight-through: pos_f + (pos_g - stop_grad(pos_g)))
+    # while its tangent carries d(phase)/d(delta) -- making fast-mode pitch
+    # learnable through the Pallas VJP (ROADMAP item: STE pitch gradients).
+    return {"pos": phase_fixed_init(),
+            "pos_g": jnp.asarray(0.0, dtype=CV_DTYPE),
+            "sync_last": transition_init()}
 
 
 def _osc_derive(cfg: AudioConfig, statics, params, connected):
@@ -87,14 +94,20 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
             delta = (440.0 * fast_exp2(octs)
                      / cfg.sample_rate).astype(CV_DTYPE)
             dfix = delta_to_fixed(delta)
-        pos_f = phase_fixed_to_float(pos_i)
+        # straight-through phase tangent: ste == 0 exactly in the primal
+        # (x - stop_grad(x)), but d(ste)/d(delta-history) == 1
+        acc = jnp.where(fired, 0.0, state["pos_g"])
+        ste = acc - jax.lax.stop_gradient(acc)
+        pos_f = phase_fixed_to_float(pos_i) + ste
         new_pos = pos_i + dfix  # wraps exactly mod 2^32
+        new_acc = acc + delta
 
     if cfg.exact:
         sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
     else:
         # polynomial sine straight off the signed fixed-point phase
-        sine = fast_sinpi(signed_turns(pos_i)).astype(CV_DTYPE)
+        # (signed turns move at 2x phase, hence 2x the tangent shadow)
+        sine = fast_sinpi(signed_turns(pos_i) + 2.0 * ste).astype(CV_DTYPE)
 
     naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
     naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
@@ -108,6 +121,8 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
         saw = naive_saw
 
     new_state = {"pos": new_pos, "sync_last": sync_last}
+    if not cfg.exact:
+        new_state["pos_g"] = new_acc
     return new_state, (sine, square, saw)
 
 
@@ -184,6 +199,19 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             next_pos = pos_acc[-1] + dfix[-1]
         pos_f = phase_fixed_to_float(pos_acc)
         delta = delta_f
+        # pos_g carry (gradient-shadow float phase; see _osc_init_state).
+        # Block kernels aren't differentiated, so only the end value is
+        # needed -- same reset-then-accumulate law as the serial step.
+        acc0 = state["pos_g"]
+        if sync_in is None:
+            acc_end = acc0 + jnp.sum(delta_f, axis=0)
+        else:
+            cum_f = fast_cumsum(delta_f, axis=0)
+            excl_f = cum_f - delta_f
+            excl_f_fire, fired_yet_f = forward_fill(excl_f, fires, axis=0)
+            acc_end = jnp.where(fired_yet_f[-1],
+                                cum_f[-1] - excl_f_fire[-1],
+                                acc0 + cum_f[-1])
 
     if cfg.exact:
         sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
@@ -200,6 +228,8 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         square, saw = naive_square, naive_saw
 
     new_state = {"pos": next_pos, "sync_last": sync_last}
+    if not cfg.exact:
+        new_state["pos_g"] = acc_end.astype(CV_DTYPE)
     return new_state, (sine, square, saw)
 
 

@@ -45,10 +45,11 @@ def _patch(precision="fast"):
 
 N = 256
 # scalar params whose gradients we pin (module name, param leaf).  The
-# oscillator's pitch (vco.val) is NOT here: fast mode's int32 fixed-point
-# phase accumulator is non-differentiable by design (zero-drift exactness
-# in exchange for a stopped pitch gradient); the exact-mode test below pins
-# the pitch gradient through the f64 phase path instead.
+# oscillator's pitch (vco.val) is pinned separately: in exact mode through
+# the f64 phase, in fast mode through the straight-through shadow phase
+# (modules/oscillator.py pos_g -- the int32 fixed-point phase itself is
+# non-differentiable; the STE carries d(phase)/d(delta) with a primal that
+# cancels exactly).
 # (module, param, fd_eps): envelope *time* params get a small eps because
 # the stage lengths are discrete sample counts -- the loss is piecewise
 # smooth in them, and the FD step must stay inside one smooth piece to
@@ -134,3 +135,32 @@ def test_pitch_gradient_exact_mode_matches_finite_differences():
     assert abs(g_ad - g_fd) <= 3e-2 * max(abs(g_fd), abs(g_ad)) + 1e-3, (
         f"vco.val: autodiff {g_ad:.6g} vs FD {g_fd:.6g}")
     assert abs(g_fd) > 1.0  # the pitch path is live, not a stopped gradient
+
+
+def test_pitch_gradient_fast_mode_ste_matches_finite_differences():
+    """Fast-mode pitch gradients flow through the straight-through shadow
+    phase (modules/oscillator.py pos_g).  The int32 phase stays exact; FD on
+    the quantized render still resolves the derivative (a 1e-4-octave step
+    moves the per-sample increment by ~1e4 fixed-point ulps)."""
+    compiled, params, ids, key, w, loss_scan = _setup(precision="fast")
+    loss_jit = jax.jit(loss_scan)
+    grads = jax.jit(jax.grad(loss_scan))(params)
+    mid = ids["vco"]
+    g_fd = _fd(loss_jit, params, mid, "val", eps=1e-4)
+    g_ad = float(grads[mid]["val"])
+    assert abs(g_ad - g_fd) <= 5e-2 * max(abs(g_fd), abs(g_ad)) + 1e-3, (
+        f"vco.val (fast/STE): autodiff {g_ad:.6g} vs FD {g_fd:.6g}")
+    assert abs(g_fd) > 1.0
+
+    # and through the Pallas fwd+bwd path (interpret mode off-TPU)
+    gr = compiled.grad_render_fn(N, batched=True)
+
+    def loss_fused(params):
+        pb = jax.tree.map(lambda a: a[None], params)
+        state = jax.tree.map(lambda a: a[None], compiled.init_state())
+        audio, _, _ = gr(pb, state, key[None], {})
+        return jnp.sum(audio[0] * w)
+
+    g_k = float(jax.jit(jax.grad(loss_fused))(params)[mid]["val"])
+    assert abs(g_k - g_fd) <= 5e-2 * max(abs(g_fd), abs(g_k)) + 1e-3, (
+        f"vco.val (fused-vjp/STE): {g_k:.6g} vs FD {g_fd:.6g}")
