@@ -45,15 +45,18 @@ def bench_config(name, patch, n, voices, engine="auto", repeats=3):
     keys = jax.random.split(jax.random.PRNGKey(0), voices)
     fn = compiled._get_fn(n, True, engine if engine != "auto" else
                           ("fused" if compiled.fused_eligible() else "block"))
+    # one dispatch per timed call: the on-device peak reduction both forces
+    # execution and is the fetch (a separate abs(out).max() dispatch costs
+    # ~45 ms extra of transport on this tunnel -- measured 7.0 vs 10.4 G
+    # samples/s on the headline config)
+    meter = jax.jit(lambda p, s, k, d: jnp.abs(fn(p, s, k, d)[0]).max())
     t0 = time.perf_counter()
-    out = fn(params, state, keys, {})
-    peak = float(jnp.abs(out[0]).max())  # forces execution + fetch
+    peak = float(meter(params, state, keys, {}))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(params, state, keys, {})
-        peak = float(jnp.abs(out[0]).max())
+        peak = float(meter(params, state, keys, {}))
         best = min(best, time.perf_counter() - t0)
     rate = n * voices / best
     rtf = rate / patch.config.sample_rate
@@ -82,12 +85,13 @@ def main() -> None:
     cfg = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                          precision="fast")
 
-    # headline: BASELINE spec -- 1000 subtractive voices, 20 s of 48 kHz
+    # headline: BASELINE spec -- 1000 subtractive voices, 30 s of 48 kHz
     # audio each (long renders amortize the ~28 ms per-call transport
-    # overhead of this environment; device rate is ~10 G samples/s).
+    # overhead; 30 s keeps the [1000, 1, n] f32 output under 6 GB of HBM
+    # -- 40 s renders OOM at this voice count).
     # Degrade to shorter renders rather than dying without a JSON line.
     headline = 0.0
-    for n_try in (960000, 480000, 48000):
+    for n_try in (1440000, 960000, 480000, 48000):
         try:
             headline = bench_config(f"subtractive x1000 x{n_try // 48000}s",
                                     subtractive_voice(cfg), n_try, 1000)
@@ -97,6 +101,7 @@ def main() -> None:
 
     # secondary configs (stderr only); failures must not kill the headline
     for name, patch, n, v in (
+        ("sine x1000 x10s", sine_patch(cfg), 480000, 1000),
         ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
         ("feedback x1024", feedback_patch(cfg), 48000, 1024),
         # sequencers are register-safe select chains -> fused engine; long

@@ -162,7 +162,13 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     dt = _core_dtype(cfg)
     cl, cr, al, ar = line_lengths(cfg.sample_rate)
-    chunk = min(min(cl), min(cr), min(al), min(ar), n)
+    # two-level chunking: the combs admit chunks up to the shortest *comb*
+    # (~1214 @48k) -- long enough for the Pallas scan kernel and 5x fewer
+    # outer steps -- while the short allpasses (~245 min) process each chunk
+    # in sub-pieces.  Series causality is preserved: pieces go in time
+    # order, and each allpass's delay line sees its writes in time order.
+    chunk = min(min(cl), min(cr), n)
+    ap_sub = min(min(al), min(ar))
     full = n // chunk
     rem = n - full * chunk
 
@@ -191,7 +197,12 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     def make_body(csize):
         """One chunk of ``csize <= chunk`` samples (every delay-line read
-        within it predates the chunk, so it vectorises)."""
+        within it predates the chunk, so it vectorises).
+
+        (Measured dead end: stacking all 16 comb recurrences into one
+        [16, csize] batched solve per chunk -- the stack/broadcast
+        materialization cost more than the 16 separate solves, 181 ->
+        223 ms at farm scale, and compile time blew up 10x.)"""
 
         def comb_chunk(h, fs0, mixed):
             y = h[:csize]
@@ -200,11 +211,11 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             w = mixed + fs_t * feed
             return jnp.concatenate([h[csize:], w]), fs_t[-1], y
 
-        def allpass_chunk(h, x):
-            delayed = h[:csize]
+        def allpass_piece(h, x, m):
+            delayed = h[:m]
             out = delayed - x
             w = x + delayed * ALLPASS_FEEDBACK
-            return jnp.concatenate([h[csize:], w]), out
+            return jnp.concatenate([h[m:], w]), out
 
         def body(carry, xch):
             hists, fss = carry
@@ -219,9 +230,18 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
                     k = f"c{ch}{i}"
                     hists[k], fss[k], y = comb_chunk(hists[k], fss[k], mixed)
                     out[ch] = out[ch] + y
-                for i in range(len(al)):
-                    k = f"a{ch}{i}"
-                    hists[k], out[ch] = allpass_chunk(hists[k], out[ch])
+                # allpasses: sub-pieces no longer than the shortest line
+                pieces = []
+                for s0 in range(0, csize, ap_sub):
+                    m = min(ap_sub, csize - s0)
+                    x_piece = out[ch][s0:s0 + m]
+                    for i in range(len(al)):
+                        k = f"a{ch}{i}"
+                        hists[k], x_piece = allpass_piece(
+                            hists[k], x_piece, m)
+                    pieces.append(x_piece)
+                out[ch] = (pieces[0] if len(pieces) == 1
+                           else jnp.concatenate(pieces))
             fl = (out["l"] * wet1 + out["r"] * wet2
                   + lc * dry).astype(CV_DTYPE)
             fr = (out["r"] * wet1 + out["l"] * wet2

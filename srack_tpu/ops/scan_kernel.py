@@ -47,8 +47,10 @@ ROW_BLOCK = 32     # rows (voices) per kernel instance
 T_CHUNK = 2048     # time lanes per grid step (VMEM tile: 32x2048 f32 = 256K)
 
 # below this length the XLA log-doubling path wins (kernel launch + pad
-# overhead); freeverb's ~1.2k-sample comb chunks deliberately stay XLA
-MIN_N = 2048
+# overhead).  1024 admits Freeverb's ~1.2k-sample comb-damping recurrences
+# (16 per chunk scan body at farm scale -- the XLA form moved ~70 GB of
+# log-doubling traffic per rendered second).
+MIN_N = 1024
 
 KINDS = {
     # kind -> number of scanned arrays given k "value" arrays
@@ -300,13 +302,14 @@ _OK_DTYPES = (jnp.float32, jnp.int32)
 
 
 def eligible(arrs, axis) -> bool:
-    """True when the Pallas path applies: 1-D logical arrays (the batch
-    axis, if any, is vmap-hidden), a long-enough scan axis, supported
-    dtypes, and a real TPU backend."""
+    """True when the Pallas path applies: scan along the last axis of a
+    1-D ([n]) or 2-D ([rows, n]) logical array (any vmap batch axes are
+    hidden and folded into rows by the custom-vmap rule), a long-enough
+    scan axis, supported dtypes, and a real TPU backend."""
     a0 = arrs[0]
-    return (a0.ndim == 1
-            and axis % a0.ndim == 0
-            and a0.shape[0] >= MIN_N
+    return (a0.ndim in (1, 2)
+            and axis == a0.ndim - 1
+            and a0.shape[-1] >= MIN_N
             and all(a.shape == a0.shape for a in arrs)
             and all(a.dtype in _OK_DTYPES or a.dtype == jnp.bool_
                     for a in arrs)

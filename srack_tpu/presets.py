@@ -139,11 +139,15 @@ def feedback_patch(cfg: AudioConfig | None = None) -> Patch:
 
 
 def reverb_patch(cfg: AudioConfig | None = None) -> Patch:
-    """Subtractive voice into Freeverb (stereo) -- exercises delay lines."""
+    """Subtractive voice into Freeverb (stereo) -- exercises delay lines.
+
+    Freeverb's 8 feedback combs sum coherently at room_size 0.7 (~6x gain
+    on sustained input); wet/dry are set for the worst-case farm voice
+    (randomized cutoff/resonance) to stay inside full scale."""
     cfg = cfg or AudioConfig(channels=2)
     p = subtractive_voice(cfg)
     vca = next(i for i in p if i.name == "vca")
-    rev = p.add("Freeverb", room_size=0.7, dampening=0.4, wet=0.8, dry=0.4,
+    rev = p.add("Freeverb", room_size=0.7, dampening=0.4, wet=0.12, dry=0.3,
                 name="verb")
     p.connect(p.handle(vca.id), 0, rev, "Left")
     p.connect(p.handle(vca.id), 0, rev, "Right")
