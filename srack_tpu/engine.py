@@ -50,11 +50,18 @@ def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
 def render_stream(patch: Patch, *, params: Optional[dict] = None,
                   state: Optional[dict] = None, key=None,
                   n_blocks: Optional[int] = None,
+                  automation: Optional[dict] = None,
                   probes: Sequence = ()) -> Iterator:
     """Yield ``(audio_block, probe_block, state)`` tuples of
-    ``block_size`` samples forever (or for ``n_blocks``)."""
-    compiled = compile_patch(patch, probes=probes)
+    ``block_size`` samples forever (or for ``n_blocks``).
+
+    ``automation`` lanes are consumed block-by-block; a stream that
+    outlives its lanes holds each lane's final value (like a DAW past the
+    end of an automation clip)."""
+    compiled = compile_patch(patch, probes=probes,
+                             automation=tuple(automation or ()))
     cfg = compiled.cfg
+    block = cfg.block_size
     if params is None:
         params = compiled.default_params
     if state is None:
@@ -63,11 +70,25 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
         key = jax.random.PRNGKey(0)
     elif isinstance(key, int):
         key = jax.random.PRNGKey(key)
+
+    def lane_block(arr, i):
+        arr = jnp.asarray(arr)
+        start = i * block
+        if start + block <= arr.shape[-1]:
+            return arr[..., start:start + block]
+        tail = arr[..., start:] if start < arr.shape[-1] else arr[..., -1:]
+        pad = block - tail.shape[-1]
+        hold = jnp.broadcast_to(arr[..., -1:], arr.shape[:-1] + (pad,))
+        return jnp.concatenate([tail, hold], axis=-1)
+
     i = 0
     while n_blocks is None or i < n_blocks:
         key, sub = jax.random.split(key)
+        autos_b = ({k: lane_block(v, i) for k, v in automation.items()}
+                   if automation else None)
         audio, probe_vals, state = compiled.render(
-            cfg.block_size, params=params, state=state, key=sub)
+            block, params=params, state=state, key=sub,
+            automation=autos_b)
         yield audio, probe_vals, state
         i += 1
 
@@ -86,7 +107,7 @@ def replicate_params(params: dict, n: int) -> dict:
 def render_long(patch: Patch, n_samples: int, *,
                 segment: int = 48000 * 20, params: Optional[dict] = None,
                 state: Optional[dict] = None, key=None, batched: bool = False,
-                out=None):
+                automation: Optional[dict] = None, out=None):
     """Render arbitrarily long audio in fixed segments with carried state.
 
     A single device call must hold its whole output in HBM; this loops
@@ -98,7 +119,14 @@ def render_long(patch: Patch, n_samples: int, *,
     """
     import numpy as np
 
-    compiled = compile_patch(patch)
+    compiled = compile_patch(patch, automation=tuple(automation or ()))
+    if automation:
+        for (_, _), arr in automation.items():
+            if jnp.shape(arr)[-1] != n_samples:
+                raise ValueError(
+                    "render_long automation lanes must cover the whole "
+                    f"render: lane has {jnp.shape(arr)[-1]} samples, "
+                    f"n_samples={n_samples}")
     if params is None:
         params = compiled.default_params
     if state is None:
@@ -123,8 +151,12 @@ def render_long(patch: Patch, n_samples: int, *,
         else:
             key_arg = jax.random.fold_in(key, seg_idx)
         seg_idx += 1
+        autos_seg = ({k: jnp.asarray(v)[..., done:done + m]
+                      for k, v in automation.items()}
+                     if automation else None)
         audio, _, state = compiled.render(m, params=params, state=state,
-                                          key=key_arg, batched=batched)
+                                          key=key_arg, batched=batched,
+                                          automation=autos_seg)
         a = np.asarray(audio)
         if out is None:
             shape = a.shape[:-1] + (n_samples,)

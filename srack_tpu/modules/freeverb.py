@@ -169,8 +169,6 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     # order, and each allpass's delay line sees its writes in time order.
     chunk = min(min(cl), min(cr), n)
     ap_sub = min(min(al), min(ar))
-    full = n // chunk
-    rem = n - full * chunk
 
     def lane(x):
         if x is None:
@@ -252,9 +250,48 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     carry = (hist, fs)
     pieces_l, pieces_r = [], []
+
+    # TPU fast path: the whole-Freeverb Pallas kernel keeps all 24 delay
+    # lines VMEM-resident for the full chunks (ops/freeverb_kernel.py);
+    # the tail (< one chunk) chains through the XLA body below.
+    n_full = 0
+    use_kernel = (dt == jnp.float32 and chunk >= 128
+                  and jax.default_backend() == "tpu")
+    if use_kernel:
+        from ..ops import freeverb_kernel as fvk
+        t_c = (chunk // 128) * 128
+        n_full = (n // t_c) * t_c
+    if n_full:
+        comb_keys = ([f"cl{i}" for i in range(len(cl))]
+                     + [f"cr{i}" for i in range(len(cr))])
+        ap_keys = ([f"al{i}" for i in range(len(al))]
+                   + [f"ar{i}" for i in range(len(ar))])
+        fs_keys = [f"c{ch}{i}" for ch in "lr" for i in range(len(cl))]
+        mixed_full = (l_in[:n_full] + r_in[:n_full]) * in_gain
+        fn = fvk.entry(tuple(cl) + tuple(cr), tuple(al) + tuple(ar),
+                       n_full, t_c)
+        outs = fn(mixed_full, jnp.stack([fs[k] for k in fs_keys]),
+                  damp, feed, *[hist[k] for k in comb_keys + ap_keys])
+        out_l, out_r, fs_f = outs[0], outs[1], outs[2]
+        pieces_l.append((out_l * wet1 + out_r * wet2
+                         + l_in[:n_full] * dry).astype(CV_DTYPE))
+        pieces_r.append((out_r * wet1 + out_l * wet2
+                         + r_in[:n_full] * dry).astype(CV_DTYPE))
+        hist = dict(hist)
+        fs = dict(fs)
+        for k, h_new in zip(comb_keys + ap_keys, outs[3:]):
+            hist[k] = h_new
+        for j, k in enumerate(fs_keys):
+            fs[k] = fs_f[j]
+        carry = (hist, fs)
+
+    rest = n - n_full
+    full = rest // chunk
+    rem = rest - full * chunk
+    l_rest, r_rest = l_in[n_full:], r_in[n_full:]
     if full:
-        xs_chunks = (l_in[:full * chunk].reshape(full, chunk),
-                     r_in[:full * chunk].reshape(full, chunk))
+        xs_chunks = (l_rest[:full * chunk].reshape(full, chunk),
+                     r_rest[:full * chunk].reshape(full, chunk))
         carry, (fl, fr) = jax.lax.scan(make_body(chunk), carry, xs_chunks)
         pieces_l.append(fl.reshape(-1))
         pieces_r.append(fr.reshape(-1))
@@ -262,7 +299,7 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         # partial tail chunk: consume exactly ``rem`` samples so carried
         # state stays sample-accurate for continued renders
         carry, (fl, fr) = make_body(rem)(
-            carry, (l_in[full * chunk:], r_in[full * chunk:]))
+            carry, (l_rest[full * chunk:], r_rest[full * chunk:]))
         pieces_l.append(fl)
         pieces_r.append(fr)
     hists_f, fss_f = carry

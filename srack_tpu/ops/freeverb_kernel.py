@@ -1,0 +1,218 @@
+"""Whole-Freeverb Pallas kernel: all 24 delay lines VMEM-resident.
+
+The XLA block path (modules/freeverb.py _block) keeps each delay line in
+HBM and rebuilds it once per chunk -- at farm scale the 24-line churn plus
+the comb-damping scans dominate (measured ~180 ms for 1 s x 1024 voices
+even with the Pallas scan primitives).  This kernel keeps every line in
+VMEM across the whole render:
+
+* grid = (voice_tiles, time_chunks); voices are rows, time is lanes;
+* the delay lines live in the kernel's *output* refs (their block index is
+  constant along the time axis, so Pallas keeps them resident in VMEM;
+  chunk 0 copies the incoming state in);
+* per chunk: the 16 comb reads are the oldest ``t_c`` samples of each
+  line; the damping one-pole is a log-doubling affine scan in VMEM; lines
+  roll by concat; the 8 series allpasses process the chunk in sub-pieces
+  no longer than the shortest allpass line (series causality preserved --
+  same two-level chunking as the XLA path);
+* HBM traffic = the mixed input lane in + two output lanes out (plus one
+  state copy at the edges): the speed-of-light for this recurrence.
+
+Reference semantics: freeverb crate comb/allpass ticks
+(src/synth/freeverb.rs wraps them; see modules/freeverb.py).  Fast
+(f32) precision only -- exact mode stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+VB = 32             # voices (rows) per kernel instance
+ALLPASS_FEEDBACK = 0.5
+
+
+def _shift(x, s, fill):
+    rows, n = x.shape
+    if s >= n:
+        return jnp.full_like(x, fill)
+    pad = jnp.full((rows, s), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, : n - s]], axis=1)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _build(comb_lens, ap_lens, n, t_c, interpret):
+    """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
+    n: total samples (multiple of t_c); t_c: chunk (multiple of 128,
+    <= min(comb_lens)).  Returns
+    ``run(mixed [V, n], fs [V, 16], damp [V], feed [V], *hists [V, len])
+    -> (out_l, out_r, fs_final, *hists_final)``."""
+    n_comb = len(comb_lens)
+    n_ap = len(ap_lens)
+    half_c = n_comb // 2
+    half_a = n_ap // 2
+    assert t_c % LANES == 0 and t_c <= min(comb_lens)
+    n_chunks = n // t_c
+    # allpass sub-pieces: static spans no longer than the shortest line
+    min_ap = min(ap_lens)
+    spans = []
+    s0 = 0
+    while s0 < t_c:
+        m = min(min_ap, t_c - s0)
+        spans.append((s0, m))
+        s0 += m
+
+    def kernel(*refs):
+        (mixed_ref, fs_in_ref, gp_ref) = refs[:3]
+        hin_refs = refs[3:3 + n_comb + n_ap]
+        out_l_ref, out_r_ref, fs_ref = refs[3 + n_comb + n_ap:
+                                            6 + n_comb + n_ap]
+        h_refs = refs[6 + n_comb + n_ap:]
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            fs_ref[...] = fs_in_ref[...]
+            for hr, hi in zip(h_refs, hin_refs):
+                hr[...] = hi[...]
+
+        mixed = mixed_ref[...]
+        damp = gp_ref[:, 0:1]
+        feed = gp_ref[:, 1:2]
+        one_m = 1.0 - damp
+
+        ys = []
+        for j in range(n_comb):
+            h = h_refs[j][...]
+            y = h[:, :t_c]
+            # damping one-pole fs[t] = damp*fs[t-1] + (1-damp)*y[t]:
+            # log-doubling affine composition in VMEM
+            A = jnp.broadcast_to(damp, y.shape)
+            B = y * one_m
+            s = 1
+            while s < t_c:
+                A_s = _shift(A, s, 1.0)
+                B_s = _shift(B, s, 0.0)
+                B = A * B_s + B
+                A = A * A_s
+                s <<= 1
+            fs_t = A * fs_ref[:, j:j + 1] + B
+            w = mixed + fs_t * feed
+            # (empty [rows, 0] slices are invalid Mosaic vectors)
+            h_refs[j][...] = (w if t_c == h.shape[1] else
+                              jnp.concatenate([h[:, t_c:], w], axis=1))
+            fs_ref[:, j:j + 1] = fs_t[:, -1:]
+            ys.append(y)
+
+        outs = [sum(ys[:half_c]), sum(ys[half_c:])]
+        for ch in range(2):
+            pieces = []
+            for (p0, m) in spans:
+                x = outs[ch][:, p0:p0 + m]
+                for a in range(half_a):
+                    hj = n_comb + ch * half_a + a
+                    h = h_refs[hj][...]
+                    delayed = h[:, :m]
+                    w = x + delayed * ALLPASS_FEEDBACK
+                    x = delayed - x
+                    h_refs[hj][...] = (w if m == h.shape[1] else
+                                       jnp.concatenate([h[:, m:], w],
+                                                       axis=1))
+                pieces.append(x)
+            res = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=1)
+            (out_l_ref if ch == 0 else out_r_ref)[...] = res
+
+    all_lens = tuple(comb_lens) + tuple(ap_lens)
+
+    def lane_spec():
+        return pl.BlockSpec((VB, t_c), lambda vt, tt: (vt, tt),
+                            memory_space=pltpu.VMEM)
+
+    def state_spec(width):
+        return pl.BlockSpec((VB, width), lambda vt, tt: (vt, 0),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(mixed, fs, damp, feed, *hists):
+        v = mixed.shape[0]
+        vp = _ceil_to(max(v, 1), VB)
+
+        def padv(a):
+            return (a if a.shape[0] == vp else
+                    jnp.pad(a, ((0, vp - a.shape[0]),) + ((0, 0),) *
+                            (a.ndim - 1)))
+
+        mixed_p = padv(mixed)
+        fs_p = padv(jnp.pad(fs, ((0, 0), (0, LANES - n_comb))))
+        gp = padv(jnp.stack([damp, feed] + [jnp.zeros_like(damp)] *
+                            (LANES - 2), axis=1))
+        hists_p = [padv(h) for h in hists]
+
+        in_specs = ([lane_spec(), state_spec(LANES), state_spec(LANES)]
+                    + [state_spec(l) for l in all_lens])
+        out_specs = ([lane_spec(), lane_spec(), state_spec(LANES)]
+                     + [state_spec(l) for l in all_lens])
+        out_shape = (
+            [jax.ShapeDtypeStruct((vp, n), jnp.float32)] * 2
+            + [jax.ShapeDtypeStruct((vp, LANES), jnp.float32)]
+            + [jax.ShapeDtypeStruct((vp, l), jnp.float32)
+               for l in all_lens])
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(vp // VB, n_chunks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(mixed_p, fs_p, gp, *hists_p)
+
+        out_l, out_r, fs_f = outs[0][:v], outs[1][:v], outs[2][:v, :n_comb]
+        hists_f = [h[:v] for h in outs[3:]]
+        return (out_l, out_r, fs_f) + tuple(hists_f)
+
+    return run
+
+
+def _make_entry(comb_lens, ap_lens, n, t_c):
+    """custom_vmap entry: logical single-voice signature (the block engine
+    vmaps modules over voices); the rule passes the batch straight through
+    as kernel rows."""
+
+    @jax.custom_batching.custom_vmap
+    def f(mixed, fs, damp, feed, *hists):
+        run = _build(comb_lens, ap_lens, n, t_c,
+                     jax.default_backend() != "tpu")
+        outs = run(mixed[None], fs[None], damp[None], feed[None],
+                   *[h[None] for h in hists])
+        return tuple(o[0] for o in outs)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else
+                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        run = _build(comb_lens, ap_lens, n, t_c,
+                     jax.default_backend() != "tpu")
+        outs = run(*args)
+        return tuple(outs), (True,) * len(outs)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def entry(comb_lens, ap_lens, n, t_c):
+    return _make_entry(comb_lens, ap_lens, n, t_c)

@@ -109,6 +109,44 @@ def test_unknown_param_rejected():
         compiled.render(N, automation={(p.output, "x"): jnp.zeros(N)})
 
 
+def test_stream_and_long_match_offline():
+    """Automation lanes split across stream blocks / render_long segments
+    must reproduce the single-call render exactly (state-carried lanes)."""
+    from srack_tpu.engine import render_long, render_stream
+
+    p, osc, flt = _voice(val=0.0)
+    lane_v = jnp.asarray(np.linspace(-1.0, -0.2, N), jnp.float32)
+    lane_f = jnp.asarray(np.linspace(0.1, 0.8, N), jnp.float32)
+    autos = {(osc, "val"): lane_v, (flt, "freq"): lane_f}
+    want, _, _ = st.render(p, N, automation=autos, engine="scan")
+
+    blocks = [a for a, _, _ in render_stream(
+        p, n_blocks=N // CFG.block_size, automation=autos)]
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(blocks, axis=-1)), np.asarray(want),
+        atol=1e-6, rtol=1e-6)
+
+    got, _ = render_long(p, N, segment=3 * CFG.block_size, automation=autos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_stream_holds_last_lane_value():
+    from srack_tpu.engine import render_stream
+
+    p, osc, _ = _voice(val=0.0)
+    short = jnp.full((CFG.block_size,), -1.0, jnp.float32)  # 1 block only
+    blocks = [a for a, _, _ in render_stream(
+        p, n_blocks=3, automation={(osc, "val"): short})]
+    # past the lane's end the param holds -1.0: same as a constant render
+    ref_blocks = [a for a, _, _ in render_stream(
+        p, n_blocks=3,
+        automation={(osc, "val"): jnp.full((3 * CFG.block_size,), -1.0,
+                                           jnp.float32)})]
+    for g, w in zip(blocks, ref_blocks):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_batched_shared_lane():
     p, osc, _ = _voice(val=0.0)
     lane = jnp.asarray(np.linspace(-1.0, 0.0, N), jnp.float32)
