@@ -105,5 +105,8 @@ def write_wav(path, audio, sample_rate: int, *, bits: int = 16):
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, channels,
                                  sample_rate, sample_rate * block, block, bits)
     hdr += b"data" + struct.pack("<I", len(body))
-    with open(path, "wb") as f:
-        f.write(hdr + body)
+    if hasattr(path, "write"):  # file-like (e.g. BytesIO, pipe)
+        path.write(hdr + body)
+    else:
+        with open(path, "wb") as f:
+            f.write(hdr + body)
