@@ -63,7 +63,10 @@ def bench_config(name, patch, n, voices, engine="auto", repeats=3):
     log(f"[{name}] voices={voices} n={n} compile={compile_s:.1f}s "
         f"best={best * 1e3:.1f}ms rate={rate / 1e9:.3f}G samples/s "
         f"aggregate_rtf={rtf:.0f}x peak={peak:.3f}")
-    if not peak <= 1.0:
+    # 0.2% headroom: the sine preset is a deliberately full-scale sine and
+    # the fast-mode polynomial sine overshoots |1| by ~1e-5; the assert is
+    # for wrong mixer gains (dB-scale clipping), not ulp overshoot
+    if not peak <= 1.002:
         raise ValueError(f"[{name}] output clips: peak={peak:.3f} > 1.0 "
                          "-- preset gains are wrong")
     return rate

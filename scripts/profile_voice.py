@@ -25,9 +25,9 @@ CFG = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
 def build(stage: str) -> Patch:
     p = Patch(CFG)
     osc = p.add("Oscillator", val=-1.0, name="vco",
-                antialiasing=(stage != "saw_noaa"))
-    if stage in ("sine", "saw_noaa"):
-        p.connect(osc, "Sine" if stage == "sine" else "Sawtooth",
+                antialiasing=(stage not in ("saw_noaa", "sine_noaa")))
+    if stage in ("sine", "sine_noaa", "saw_noaa"):
+        p.connect(osc, "Sawtooth" if stage == "saw_noaa" else "Sine",
                   p.output, 0)
         return p
     if stage == "saw":
@@ -65,13 +65,12 @@ def bench(name, patch):
                          compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), V)
     fn = compiled._get_fn(N, True, "fused")
-    out = fn(params, state, keys, {})
-    float(jnp.abs(out[0]).max())
+    meter = jax.jit(lambda p, s, k, d: jnp.abs(fn(p, s, k, d)[0]).max())
+    float(meter(params, state, keys, {}))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(params, state, keys, {})
-        float(jnp.abs(out[0]).max())
+        float(meter(params, state, keys, {}))
         best = min(best, time.perf_counter() - t0)
     cyc = (best - 0.028) * CLOCK_HZ / N  # minus fixed transport overhead
     print(f"[{name:10s}] best={best * 1e3:7.1f}ms "
@@ -84,7 +83,8 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
     prev = 0.0
-    for stage in ("sine", "saw_noaa", "saw", "saw+moog", "voice", "full"):
+    for stage in ("sine", "sine_noaa", "saw_noaa", "saw", "saw+moog",
+                  "voice", "full"):
         c = bench(stage, build(stage))
         print(f"    marginal: {c - prev:+.1f} cycles/sample",
               file=sys.stderr, flush=True)

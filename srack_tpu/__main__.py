@@ -1,0 +1,211 @@
+"""Command-line entry point: the app-shell layer of the framework.
+
+The reference is a desktop app whose ``main()`` wires a workspace, an
+Output module, and a cpal audio engine together (reference:
+src/main.rs:13-22,125-169); its "user interface" to a patch is the egui
+canvas plus File Load/Save.  This build is headless by blueprint (SURVEY.md
+preamble), so the app shell becomes a CLI over the same capabilities:
+
+* ``render``  -- load a patch (``.srk``, ``.json`` patchfile, or a named
+  preset) and render it to a WAV file, replacing the cpal output stream
+  (src/main.rs:59-90) with an offline render.
+* ``info``    -- inspect a patch: modules, params, wiring, execution plan
+  (the textual stand-in for the patch-cord canvas, src/ui.rs:285-418).
+* ``modules`` -- the module catalog with port labels
+  (src/synth.rs:421-515 ``get_catalog`` / the Modules menu,
+  src/main.rs:149-165).
+* ``presets`` -- the built-in benchmark patches ("model zoo").
+
+Usage::
+
+    python -m srack_tpu render subtractive -o voice.wav --seconds 5
+    python -m srack_tpu render mypatch.srk -o out.wav
+    python -m srack_tpu info mypatch.srk
+    python -m srack_tpu modules
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load_patch(source: str, args):
+    """Resolve a CLI patch source: preset name, .srk file, or .json file."""
+    from .config import AudioConfig
+    from .presets import PRESETS
+
+    overrides = {}
+    if args.sample_rate:
+        overrides["sample_rate"] = args.sample_rate
+    if args.channels:
+        overrides["channels"] = args.channels
+    if getattr(args, "precision", None):
+        overrides["precision"] = args.precision
+    if getattr(args, "buffer_feedback", False):
+        overrides["buffer_feedback"] = True
+
+    if source in PRESETS:
+        cfg = AudioConfig(**overrides) if overrides else None
+        return PRESETS[source](cfg)
+
+    if source.endswith(".srk"):
+        from .io.srk import read_srk
+        with open(source, "rb") as f:
+            data = f.read()
+        cfg = AudioConfig(**overrides) if overrides else None
+        patch = read_srk(data, config=cfg)
+    elif source.endswith(".json"):
+        from .io.patchfile import load_patch
+        patch = load_patch(source)
+        if overrides:
+            import dataclasses
+            patch.set_audio_config(
+                dataclasses.replace(patch.config, **overrides))
+    else:
+        raise SystemExit(
+            f"unknown patch source {source!r}: expected a preset name "
+            f"({', '.join(sorted(PRESETS))}), a .srk file, or a .json "
+            f"patchfile")
+    return patch
+
+
+def _cmd_render(args) -> int:
+    from . import engine
+    from .io.wav import write_wav
+
+    patch = _load_patch(args.source, args)
+    sr = patch.config.sample_rate
+    if args.samples is not None:
+        n = int(args.samples)
+    else:
+        n = int(round(args.seconds * sr))
+    if n <= 0:
+        raise SystemExit("nothing to render: n_samples <= 0")
+
+    t0 = time.perf_counter()
+    segment = 48000 * 20
+    if n > segment:
+        audio, _ = engine.render_long(patch, n, key=args.seed,
+                                      segment=segment)
+    else:
+        audio, _, _ = engine.render(patch, n, key=args.seed,
+                                    engine=args.engine)
+    import numpy as np
+    audio = np.asarray(audio)
+    dt = time.perf_counter() - t0
+
+    out = args.output or "out.wav"
+    write_wav(out, audio, sr, bits=args.bits)
+    peak = float(np.abs(audio).max()) if audio.size else 0.0
+    rtf = (n / sr) / dt if dt > 0 else float("inf")
+    print(f"rendered {n} samples ({n / sr:.2f}s) x{audio.shape[0]}ch "
+          f"in {dt:.2f}s ({rtf:.1f}x real-time), peak {peak:.3f} -> {out}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .planner import plan_execution
+
+    patch = _load_patch(args.source, args)
+    cfg = patch.config
+    print(f"config: {cfg.sample_rate} Hz, {cfg.channels} ch, "
+          f"block {cfg.block_size}, precision={cfg.precision}, "
+          f"buffer_feedback={cfg.buffer_feedback}")
+    print(f"modules ({len(patch)}):")
+    import numpy as np
+    for inst in patch:
+        ps = ", ".join(f"{k}={np.asarray(v).tolist()}"
+                       for k, v in sorted(inst.params.items()))
+        print(f"  {inst.id}  [{inst.mdef.type_name}]"
+              + (f"  {ps}" if ps else ""))
+    conns = patch.connections()
+    print(f"connections ({len(conns)}):")
+    for src, sport, sink, sport2 in conns:
+        print(f"  {src}:{sport} -> {sink}:{sport2}")
+    plan, broken = plan_execution(patch)
+    print("plan: " + " -> ".join(plan))
+    if broken:
+        print("feedback edges (read previous "
+              + ("block" if cfg.buffer_feedback else "sample") + "):")
+        for sink, src in sorted(broken):
+            print(f"  {src} ~> {sink}")
+    return 0
+
+
+def _cmd_modules(args) -> int:
+    from .config import AudioConfig
+    from .modules import CATALOG
+
+    cfg = AudioConfig()
+    for name in sorted(CATALOG):
+        mdef = CATALOG[name]
+        try:
+            statics, params = mdef.make(cfg)
+        except TypeError:
+            # needs construction args (e.g. Sample wants a waveform)
+            print(f"{name}: (requires construction arguments)")
+            continue
+        nin = mdef.num_inputs(cfg, statics)
+        nout = mdef.num_outputs(cfg, statics)
+        inl = mdef.input_labels(cfg, statics)
+        outl = mdef.output_labels(cfg, statics)
+        fmt = lambda labels: ", ".join(
+            (l if l is not None else str(i)) for i, l in enumerate(labels))
+        print(f"{name}: in[{nin}]=({fmt(inl)}) out[{nout}]=({fmt(outl)})"
+              + (f" params: {', '.join(sorted(params))}" if params else ""))
+    return 0
+
+
+def _cmd_presets(args) -> int:
+    from .presets import PRESETS
+    for name in sorted(PRESETS):
+        doc = (PRESETS[name].__doc__ or "").strip().splitlines()
+        print(f"{name}: {doc[0] if doc else ''}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="srack_tpu",
+        description="TPU-native modular synthesis framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_source_opts(p):
+        p.add_argument("source", help="preset name, .srk file, or .json "
+                       "patchfile")
+        p.add_argument("--sample-rate", type=int, default=None)
+        p.add_argument("--channels", type=int, default=None)
+        p.add_argument("--precision", choices=("fast", "exact"), default=None)
+        p.add_argument("--buffer-feedback", action="store_true",
+                       help="reference-exact previous-buffer feedback timing")
+
+    rp = sub.add_parser("render", help="render a patch to a WAV file")
+    add_source_opts(rp)
+    rp.add_argument("-o", "--output", default=None, help="output WAV path")
+    rp.add_argument("--seconds", type=float, default=5.0)
+    rp.add_argument("--samples", type=int, default=None,
+                    help="exact sample count (overrides --seconds)")
+    rp.add_argument("--engine", choices=("auto", "scan", "block", "fused"),
+                    default="auto")
+    rp.add_argument("--seed", type=int, default=0)
+    rp.add_argument("--bits", type=int, default=16, choices=(16, 32))
+    rp.set_defaults(fn=_cmd_render)
+
+    ip = sub.add_parser("info", help="inspect a patch")
+    add_source_opts(ip)
+    ip.set_defaults(fn=_cmd_info)
+
+    mp = sub.add_parser("modules", help="list the module catalog")
+    mp.set_defaults(fn=_cmd_modules)
+
+    pp = sub.add_parser("presets", help="list built-in presets")
+    pp.set_defaults(fn=_cmd_presets)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
