@@ -227,7 +227,7 @@ class BlockProgram:
                     new_state, outs = mdef.block(
                         cfg, statics, params[mid], states[mid], ins, x, n)
                 else:
-                    new_state, outs = mdef.step(
+                    new_state, outs = (mdef.step_nograd or mdef.step)(
                         cfg, statics, params[mid], states[mid], ins, x)
                     outs = tuple(jnp.broadcast_to(o, (n,)).astype(o.dtype)
                                  for o in outs)
@@ -261,7 +261,10 @@ class BlockProgram:
                     ins.append(fb[c])
                 else:
                     ins.append(values[c])
-            new_state, outs = mdef.step(
+            # the block engine is never differentiated (grad_render_fn
+            # routes to fused_vjp or scan), so gradient-only step ops are
+            # elided (bit-identical primal; ModuleDef.step_nograd)
+            new_state, outs = (mdef.step_nograd or mdef.step)(
                 cfg, statics, params[mid], states[mid], ins, None)
             new_states[mid] = new_state
             for p, o in enumerate(outs):

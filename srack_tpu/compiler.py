@@ -188,10 +188,13 @@ class CompiledPatch:
 
     # -- the fused per-sample body -------------------------------------------
 
-    def _sample_step(self, params, states, fb_t, x_t):
+    def _sample_step(self, params, states, fb_t, x_t, nograd: bool = False):
         """One sample through the whole plan.  ``fb_t`` maps fb key ->
         scalar feedback value for this sample; ``x_t`` maps module id ->
-        this sample's hoisted input."""
+        this sample's hoisted input.  ``nograd=True`` (only legal from
+        engines that are never differentiated, e.g. the plain fused Pallas
+        render) lets modules elide gradient-only ops via
+        ``ModuleDef.step_nograd``; primal outputs are bit-identical."""
         cfg = self.cfg
         values = {}
         new_states = {}
@@ -214,8 +217,10 @@ class CompiledPatch:
                 # per-sample automation overlay: the step sees this sample's
                 # lane value where the static param would be
                 pd = {**pd, **{p: x_t[self._auto_key(mid, p)] for p in auto}}
+            step = (mdef.step_nograd
+                    if nograd and mdef.step_nograd is not None else mdef.step)
             with jax.named_scope(f"{mdef.type_name}:{mid}"):
-                new_state, outs = mdef.step(
+                new_state, outs = step(
                     cfg, statics, pd, states[mid], ins,
                     x_t.get(mid))
             new_states[mid] = new_state

@@ -75,6 +75,14 @@ class ModuleDef:
     # (measured: in-loop reciprocals cost ~2x), so anything a step
     # recomputes per sample from params alone belongs here.
     derive: Optional[Callable[..., dict]] = None
+    # Optional step variant for engines that are never differentiated
+    # (the plain fused Pallas render): must produce bit-identical primal
+    # outputs and state to ``step`` but may elide gradient-only machinery
+    # (e.g. the oscillator's straight-through shadow-phase ops, which are
+    # exactly zero in the primal yet cost real VPU issue slots -- Mosaic
+    # cannot fold float ``x - stop_grad(x)`` to 0).  Differentiable paths
+    # (scan autodiff, ops/fused_vjp.py) always use ``step``.
+    step_nograd: Optional[Callable[..., tuple]] = None
 
     def port_index(self, cfg: AudioConfig, statics: Statics, port, *, output: bool) -> int:
         """Resolve a port given by index or label to an index."""

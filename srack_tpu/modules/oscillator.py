@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import AudioConfig
 from ..ops.basic import (block_transitions, delta_to_fixed, fast_cumsum,
                          fast_exp2, fast_sinpi, forward_fill,
-                         phase_fixed_init, phase_fixed_to_float, poly_blep,
+                         phase_fixed_init, poly_blep, poly_blep_signed,
                          signed_turns, t_index, transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
@@ -64,19 +64,29 @@ def _osc_derive(cfg: AudioConfig, statics, params, connected):
     if cfg.exact:
         val = params["val"].astype(jnp.float64)
         return {"delta": 440.0 * jnp.exp2(val) / cfg.sample_rate}
-    delta = (440.0 * fast_exp2(params["val"]) / cfg.sample_rate).astype(
-        CV_DTYPE)
+    delta = (fast_exp2(params["val"])
+             * (440.0 / cfg.sample_rate)).astype(CV_DTYPE)
     return {"delta": delta, "dfix": delta_to_fixed(delta)}
 
 
-def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
+def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None,
+              with_ste: bool = True):
     (_, antialias) = statics
     cv_in, sync_in = ins
-    sync_val = in_or(sync_in, 0.0)
-    sync_last, fired = transition(state["sync_last"], sync_val)
+    if sync_in is None:
+        # Sync unconnected is static knowledge: skip the edge detector
+        # entirely (the select chain costs real issue slots in the fused
+        # kernel; the detector state stays False, matching transition() on
+        # a constant-0 input)
+        sync_last, fired = jnp.zeros((), jnp.bool_), None
+    else:
+        sync_last, fired = transition(state["sync_last"], in_or(sync_in, 0.0))
+
+    def reset(z, v):
+        return v if fired is None else jnp.where(fired, z, v)
 
     if cfg.exact:
-        pos = jnp.where(fired, 0.0, state["pos"])
+        pos = reset(0.0, state["pos"])
         if cv_in is None and "delta" in params:
             delta = params["delta"]  # hoisted by _osc_derive
         else:
@@ -85,45 +95,90 @@ def _osc_step(cfg: AudioConfig, statics, params, state, ins, x=None):
             delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate  # f64
         pos_f = pos
         new_pos = jnp.mod(pos + delta, 1.0)
+        ste = None
     else:
-        pos_i = jnp.where(fired, jnp.int32(0), state["pos"])
+        pos_i = reset(jnp.int32(0), state["pos"])
         if cv_in is None and "dfix" in params:
             delta, dfix = params["delta"], params["dfix"]  # hoisted
         else:
             octs = params["val"] if cv_in is None else cv_in + params["val"]
-            delta = (440.0 * fast_exp2(octs)
-                     / cfg.sample_rate).astype(CV_DTYPE)
+            # one pre-folded constant multiply (440/sr), not mul+div: the
+            # CV-modulated pitch chain runs per sample in the fused kernel
+            delta = (fast_exp2(octs)
+                     * (440.0 / cfg.sample_rate)).astype(CV_DTYPE)
             dfix = delta_to_fixed(delta)
-        # straight-through phase tangent: ste == 0 exactly in the primal
-        # (x - stop_grad(x)), but d(ste)/d(delta-history) == 1
-        acc = jnp.where(fired, 0.0, state["pos_g"])
-        ste = acc - jax.lax.stop_gradient(acc)
-        pos_f = phase_fixed_to_float(pos_i) + ste
+        acc = reset(0.0, state["pos_g"])
+        if with_ste:
+            # straight-through phase tangent: ste == 0 exactly in the
+            # primal (x - stop_grad(x)), but d(ste)/d(delta-history) == 1
+            ste = acc - jax.lax.stop_gradient(acc)
+        else:
+            # non-differentiated engines skip the shadow ops (ste is
+            # exactly 0 in the primal, so outputs are bit-identical); the
+            # pos_g carry still advances so state hand-off to a training
+            # run stays correct
+            ste = None
         new_pos = pos_i + dfix  # wraps exactly mod 2^32
         new_acc = acc + delta
 
     if cfg.exact:
         sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+        naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
+        naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
+        if antialias:
+            blep0 = poly_blep(pos_f, delta)
+            blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
+            square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
+            saw = naive_saw - blep0.astype(CV_DTYPE)
+        else:
+            square = naive_square
+            saw = naive_saw
     else:
-        # polynomial sine straight off the signed fixed-point phase
-        # (signed turns move at 2x phase, hence 2x the tangent shadow)
-        sine = fast_sinpi(signed_turns(pos_i) + 2.0 * ste).astype(CV_DTYPE)
-
-    naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
-    naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
-    if antialias:
-        blep0 = poly_blep(pos_f, delta)
-        blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
-        square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
-        saw = naive_saw - blep0.astype(CV_DTYPE)
-    else:
-        square = naive_square
-        saw = naive_saw
+        sine, square, saw = _fast_waves(pos_i, delta, ste, antialias)
 
     new_state = {"pos": new_pos, "sync_last": sync_last}
     if not cfg.exact:
         new_state["pos_g"] = new_acc
     return new_state, (sine, square, saw)
+
+
+def _fast_waves(pos_i, delta, ste, antialias: bool):
+    """Fast-mode waveforms entirely in the *signed-turns* domain.
+
+    The unsigned phase in [0,1) is never reconstructed (saves the
+    convert + wrap-fix chain): with s = signed_turns(pos) in [-1, 1),
+
+    * sine   = sinpi(s)                    (1-periodic, sign-free)
+    * square = -1 where pos >= 0 else +1   (pos >= 0  <=>  phase < 0.5)
+    * saw    = s + square                  (s - 1 on [0,.5), s + 1 on [.5,1))
+    * both polyBLEP corrections are sign(-u)(1-|u|)^2 in units of dt
+      (ops/basic.poly_blep_signed); the half-phase discontinuity's signed
+      distance is exactly ``naive_saw``, so the square's second blep reuses
+      it for free.
+
+    ``ste`` (or None) is the straight-through gradient shadow; signed turns
+    move at 2x phase, hence the 2x tangent contribution.
+    """
+    s = signed_turns(pos_i)
+    if ste is not None:
+        s = s + 2.0 * ste
+    sine = fast_sinpi(s).astype(CV_DTYPE)
+    naive_square = jnp.where(pos_i >= 0, -1.0, 1.0).astype(CV_DTYPE)
+    naive_saw = s.astype(CV_DTYPE) + naive_square
+    if antialias:
+        inv2dt = 0.5 / delta
+        blep0 = poly_blep_signed(s * inv2dt)
+        blep_half = poly_blep_signed(naive_saw * inv2dt)
+        square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
+        saw = naive_saw - blep0.astype(CV_DTYPE)
+    else:
+        square = naive_square
+        saw = naive_saw
+    return sine, square, saw
+
+
+def _osc_step_nograd(cfg: AudioConfig, statics, params, state, ins, x=None):
+    return _osc_step(cfg, statics, params, state, ins, x, with_ste=False)
 
 
 def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
@@ -175,8 +230,8 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             delta_f, dfix = params["delta"], params["dfix"]
         else:
             octs = params["val"] if cv_in is None else cv_in + params["val"]
-            delta_f = (440.0 * fast_exp2(octs)
-                       / cfg.sample_rate).astype(CV_DTYPE)
+            delta_f = (fast_exp2(octs)
+                       * (440.0 / cfg.sample_rate)).astype(CV_DTYPE)
             dfix = delta_to_fixed(delta_f)
         if cv_in is None:
             excl = dfix * tidx  # int32 multiply wraps exactly mod 2^32
@@ -197,8 +252,6 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             pos_acc = jnp.where(fired_yet, excl - excl_at_fire,
                                 state["pos"] + excl)
             next_pos = pos_acc[-1] + dfix[-1]
-        pos_f = phase_fixed_to_float(pos_acc)
-        delta = delta_f
         # pos_g carry (gradient-shadow float phase; see _osc_init_state).
         # Block kernels aren't differentiated, so only the end value is
         # needed -- same reset-then-accumulate law as the serial step.
@@ -215,17 +268,19 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     if cfg.exact:
         sine = jnp.sin(pos_f * (2.0 * jnp.pi)).astype(CV_DTYPE)
+        naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
+        naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
+        if antialias:
+            blep0 = poly_blep(pos_f, delta)
+            blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
+            square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
+            saw = naive_saw - blep0.astype(CV_DTYPE)
+        else:
+            square, saw = naive_square, naive_saw
     else:
-        sine = fast_sinpi(signed_turns(pos_acc)).astype(CV_DTYPE)
-    naive_square = jnp.where(pos_f < 0.5, -1.0, 1.0).astype(CV_DTYPE)
-    naive_saw = pos_f.astype(CV_DTYPE) * 2.0 - 1.0
-    if antialias:
-        blep0 = poly_blep(pos_f, delta)
-        blep_half = poly_blep(jnp.mod(pos_f + 0.5, 1.0), delta)
-        square = naive_square - (blep0 - blep_half).astype(CV_DTYPE)
-        saw = naive_saw - blep0.astype(CV_DTYPE)
-    else:
-        square, saw = naive_square, naive_saw
+        # identical primitive sequence to the per-sample step's fast path,
+        # so block and serial execution stay bit-for-bit equal
+        sine, square, saw = _fast_waves(pos_acc, delta_f, None, antialias)
 
     new_state = {"pos": next_pos, "sync_last": sync_last}
     if not cfg.exact:
@@ -245,6 +300,7 @@ OSCILLATOR = ModuleDef(
     output_labels=_osc_outlabels,
     init_state=_osc_init_state,
     step=_osc_step,
+    step_nograd=_osc_step_nograd,
     block=_osc_block,
     derive=_osc_derive,
 )

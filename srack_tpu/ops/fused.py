@@ -161,7 +161,7 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                 st = jax.tree.unflatten(state_def, vals)
                 x_t = {m: x_rows[j][u] for j, m in enumerate(xs_keys)}
                 new_states, fb_out, audio, _ = compiled._sample_step(
-                    params_k, st["states"], st["fb"], x_t)
+                    params_k, st["states"], st["fb"], x_t, nograd=True)
                 new_state = {"states": new_states, "fb": fb_out}
                 # a state leaf fed by an unconnected (constant) input can
                 # collapse to a scalar; broadcast back to the lane tile,
@@ -360,7 +360,7 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 512,
                 x_t = {m: x_rows[j][u] for j, m in enumerate(xs_keys)}
                 fb_t = {k: fb_rows[j][u] for j, k in enumerate(fb_keys)}
                 new_states, fb_out, audio, _ = compiled._sample_step(
-                    params_k, st, fb_t, x_t)
+                    params_k, st, fb_t, x_t, nograd=True)
                 out = []
                 for leaf, ref in zip(jax.tree.leaves(new_states), carry):
                     out.append(jnp.broadcast_to(leaf, ref.shape)
