@@ -18,13 +18,13 @@ import jax.numpy as jnp
 
 import srack_tpu as st
 from srack_tpu.patch import Patch
+from profcommon import cycles_per_sample, make_meter
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/srack_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 V, N = 1024, 1440000
 ROUNDS = 6
-CLOCK_HZ = 0.94e9  # v5e
 CFG = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                      precision="fast")
 
@@ -59,7 +59,7 @@ def prepare(stage: str):
                          compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), V)
     fn = compiled._get_fn(N, True, "fused")
-    meter = jax.jit(lambda p, s, k, d: jnp.abs(fn(p, s, k, d)[0]).max())
+    meter = make_meter(fn)
     t0 = time.perf_counter()
     float(meter(params, state, keys, {}))  # compile + warm
     print(f"[{stage:10s}] compiled in {time.perf_counter() - t0:.1f}s",
@@ -81,7 +81,7 @@ def main():
             runners[s]()
             best[s] = min(best[s], time.perf_counter() - t0)
     for s in stages:
-        cyc = (best[s] - 0.028) * CLOCK_HZ / N
+        cyc = cycles_per_sample(best[s], N)
         print(f"[{s:10s}] best={best[s] * 1e3:7.1f}ms "
               f"cycles/sample~{cyc:6.1f}", file=sys.stderr, flush=True)
 

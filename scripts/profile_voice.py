@@ -12,12 +12,12 @@ import jax.numpy as jnp
 
 import srack_tpu as st
 from srack_tpu.patch import Patch
+from profcommon import cycles_per_sample, make_meter
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/srack_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 V, N = 1024, 480000
-CLOCK_HZ = 0.94e9  # v5e
 CFG = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                      precision="fast")
 
@@ -65,14 +65,14 @@ def bench(name, patch):
                          compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), V)
     fn = compiled._get_fn(N, True, "fused")
-    meter = jax.jit(lambda p, s, k, d: jnp.abs(fn(p, s, k, d)[0]).max())
+    meter = make_meter(fn)
     float(meter(params, state, keys, {}))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         float(meter(params, state, keys, {}))
         best = min(best, time.perf_counter() - t0)
-    cyc = (best - 0.028) * CLOCK_HZ / N  # minus fixed transport overhead
+    cyc = cycles_per_sample(best, N)  # minus fixed transport overhead
     print(f"[{name:10s}] best={best * 1e3:7.1f}ms "
           f"rate={V * N / best / 1e9:6.2f}G cycles/sample~{cyc:6.1f}",
           file=sys.stderr, flush=True)

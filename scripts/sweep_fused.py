@@ -15,14 +15,14 @@ import jax.numpy as jnp
 import srack_tpu as st
 from srack_tpu.ops import fused
 from srack_tpu.presets import subtractive_voice
+from profcommon import cycles_per_sample, make_meter
 
 # no persistent cache: we want true compile cost per config
 V, N = 1024, 1440000
-CLOCK_HZ = 0.94e9
 CFG = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                      precision="fast")
 
-CONFIGS = [(8, 512), (4, 512), (4, 256), (16, 512), (2, 512)]
+CONFIGS = [(32, 256), (8, 512), (64, 256), (32, 256)]
 
 
 def main():
@@ -38,7 +38,7 @@ def main():
     for unroll, t_chunk in CONFIGS:
         fn = jax.jit(fused.make_fused_render(
             compiled, N, t_chunk=t_chunk, unroll=unroll))
-        meter = jax.jit(lambda p, s, k, d: jnp.abs(fn(p, s, k, d)[0]).max())
+        meter = make_meter(fn)
         t0 = time.perf_counter()
         float(meter(params, state, keys, {}))
         compile_s = time.perf_counter() - t0
@@ -47,7 +47,7 @@ def main():
             t0 = time.perf_counter()
             float(meter(params, state, keys, {}))
             best = min(best, time.perf_counter() - t0)
-        cyc = (best - 0.028) * CLOCK_HZ / N
+        cyc = cycles_per_sample(best, N)
         print(f"[unroll={unroll:2d} t_chunk={t_chunk:4d}] "
               f"compile={compile_s:6.1f}s best={best * 1e3:7.1f}ms "
               f"cycles/sample~{cyc:5.1f}", file=sys.stderr, flush=True)

@@ -33,7 +33,8 @@ import time
 
 def _load_patch(source: str, args):
     """Resolve a CLI patch source: preset name, .srk file, or .json file."""
-    from .config import AudioConfig
+    import dataclasses
+
     from .presets import PRESETS
 
     overrides = {}
@@ -47,27 +48,30 @@ def _load_patch(source: str, args):
         overrides["buffer_feedback"] = True
 
     if source in PRESETS:
-        cfg = AudioConfig(**overrides) if overrides else None
-        return PRESETS[source](cfg)
-
-    if source.endswith(".srk"):
+        patch = PRESETS[source](None)
+    elif source.endswith(".srk"):
         from .io.srk import read_srk
         with open(source, "rb") as f:
             data = f.read()
-        cfg = AudioConfig(**overrides) if overrides else None
-        patch = read_srk(data, config=cfg)
+        patch = read_srk(data)
     elif source.endswith(".json"):
         from .io.patchfile import load_patch
         patch = load_patch(source)
-        if overrides:
-            import dataclasses
-            patch.set_audio_config(
-                dataclasses.replace(patch.config, **overrides))
     else:
         raise SystemExit(
             f"unknown patch source {source!r}: expected a preset name "
             f"({', '.join(sorted(PRESETS))}), a .srk file, or a .json "
             f"patchfile")
+    if overrides:
+        # replace only the overridden fields, preserving the source's own
+        # defaults (e.g. the sine preset is mono; --sample-rate must not
+        # silently flip it to the dataclass default of 2 channels)
+        patch.set_audio_config(dataclasses.replace(patch.config, **overrides))
+    if patch.config.exact:
+        # exact mode keeps f64 phase/reverb state (oscillator.py docstring);
+        # without x64 JAX silently downcasts and the precision is a lie
+        import jax
+        jax.config.update("jax_enable_x64", True)
     return patch
 
 
@@ -88,7 +92,7 @@ def _cmd_render(args) -> int:
     segment = 48000 * 20
     if n > segment:
         audio, _ = engine.render_long(patch, n, key=args.seed,
-                                      segment=segment)
+                                      segment=segment, engine=args.engine)
     else:
         audio, _, _ = engine.render(patch, n, key=args.seed,
                                     engine=args.engine)

@@ -107,7 +107,8 @@ def replicate_params(params: dict, n: int) -> dict:
 def render_long(patch: Patch, n_samples: int, *,
                 segment: int = 48000 * 20, params: Optional[dict] = None,
                 state: Optional[dict] = None, key=None, batched: bool = False,
-                automation: Optional[dict] = None, out=None):
+                automation: Optional[dict] = None, out=None,
+                engine: str = "auto"):
     """Render arbitrarily long audio in fixed segments with carried state.
 
     A single device call must hold its whole output in HBM; this loops
@@ -156,7 +157,7 @@ def render_long(patch: Patch, n_samples: int, *,
                      if automation else None)
         audio, _, state = compiled.render(m, params=params, state=state,
                                           key=key_arg, batched=batched,
-                                          automation=autos_seg)
+                                          automation=autos_seg, engine=engine)
         a = np.asarray(audio)
         if out is None:
             shape = a.shape[:-1] + (n_samples,)

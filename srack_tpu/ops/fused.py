@@ -82,14 +82,21 @@ def _from_tiles(leaf, v, dtype):
     return leaf.astype(dtype)
 
 
-def make_fused_render(compiled, n: int, t_chunk: int = 512,
-                      unroll: int = 8, interpret: bool = None):
+def make_fused_render(compiled, n: int, t_chunk: int = 256,
+                      unroll: int = 32, interpret: bool = None):
+    # defaults from the (unroll, t_chunk) sweep (scripts/sweep_fused.py,
+    # v5e, subtractive voice @1024 lanes): (32, 256) runs 42.9
+    # cycles/sample vs 59.7 for the old (8, 512) -- deeper unroll exposes
+    # more cross-sample ILP and the smaller chunk halves the VMEM streaming
+    # working set; beyond 64 the gain flattens while compile time grows.
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
     ``(params, state, keys, drivers) -> (audio[V,C,n], {}, final_state)``.
     """
     cfg = compiled.cfg
+    # don't pad a short render out to a full default chunk
+    t_chunk = min(t_chunk, _ceil_to(n, unroll))
     np_ = _ceil_to(n, t_chunk)
     n_chunks = np_ // t_chunk
     n_channels = cfg.channels
@@ -172,6 +179,19 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                     out.append(leaf.astype(ref.dtype))
                 return tuple(out), audio
 
+            # the final-state snapshot must be taken at sample n-1, NOT at
+            # the end of the (padded) last chunk -- the kernel keeps
+            # running through the zero-padded tail (audio there is trimmed
+            # by the caller) and letting state advance through it would
+            # corrupt render continuity.  All indices are static, and the
+            # in-loop conditional write is only emitted when padding exists
+            # (it measurably degrades Mosaic's loop pipelining, ~17
+            # cycles/sample on the headline -- aligned renders keep the
+            # branch-free post-loop write).
+            pad_needed = np_ != n
+            tc_tgt = (n - 1) // t_chunk
+            j_tgt, u_tgt = divmod((n - 1) % t_chunk, unroll)
+
             # manual unrolling (Pallas fori_loop can't partially unroll)
             # exposes cross-sample ILP: the transcendental-heavy oscillator
             # work for sample t+1 overlaps the filter/envelope recurrences
@@ -186,6 +206,13 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                 for u in range(unroll):
                     carry, audio = body(u, carry, x_rows)
                     auds.append(audio)
+                    if pad_needed and u == u_tgt:
+                        snap = tuple(carry)
+
+                        @pl.when(jnp.logical_and(t == tc_tgt, j == j_tgt))
+                        def _():
+                            for val, sr in zip(snap, sout_refs):
+                                sr[...] = val.reshape(sr.shape)
                 for c in range(n_channels):
                     audio_refs[c][pl.ds(base, unroll), 0] = jnp.stack(
                         [jnp.broadcast_to(a[c], tile).astype(CV_DTYPE)
@@ -193,9 +220,11 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
-            for sc, val, sr in zip(scratches, carry, sout_refs):
+            for sc, val in zip(scratches, carry):
                 sc[...] = val.reshape(sc.shape)
-                sr[...] = sc[...].reshape(sr.shape)
+            if not pad_needed:
+                for sc, sr in zip(scratches, sout_refs):
+                    sr[...] = sc[...].reshape(sr.shape)
 
         def tile_spec(leaf):
             rest = leaf.shape[:-3]
@@ -254,8 +283,8 @@ def make_fused_render(compiled, n: int, t_chunk: int = 512,
     return run
 
 
-def make_fused_render_buffer(compiled, n: int, t_chunk: int = 512,
-                             unroll: int = 8, interpret: bool = None):
+def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
+                             unroll: int = 32, interpret: bool = None):
     """Buffer-feedback compat mode on the fused voice kernel.
 
     The reference's previous-*buffer* feedback timing (synth.rs:168-192)
@@ -273,10 +302,16 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 512,
             f"multiple of block_size={block}")
     n_blocks = n // block
     t_chunk = min(t_chunk, block)
+    if block % t_chunk:
+        # t_chunk must divide the block: a padded tail would advance module
+        # state past the block boundary *every block* (compounding), since
+        # the outer scan re-enters the kernel with the carried state
+        t_chunk = block
     if t_chunk % unroll:
         unroll = 1
     bp = _ceil_to(block, t_chunk)
     n_chunks = bp // t_chunk
+    assert bp == block
     n_channels = cfg.channels
     fb_keys = sorted(compiled.fb_keys)
     n_fb = len(fb_keys)

@@ -111,16 +111,33 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                     jnp.broadcast_to(leaf, ref.shape).astype(ref.dtype)
                     for leaf, ref in zip(jax.tree.leaves(new_state), carry))
 
+            # final-state snapshot at sample n-1, not the padded chunk end
+            # (state must not advance through the zero-padded tail; indices
+            # are static -- same scheme as fused.make_fused_render, with
+            # the in-loop conditional only emitted when padding exists)
+            pad_needed = np_ != n
+            tc_tgt = (n - 1) // t_chunk
+            j_tgt, u_tgt = divmod((n - 1) % t_chunk, unroll)
+
             def body_u(j, carry):
                 base = j * unroll
                 for u in range(unroll):
                     carry = body(base + u, carry)
+                    if pad_needed and u == u_tgt:
+                        snap = tuple(carry)
+
+                        @pl.when(jnp.logical_and(t == tc_tgt, j == j_tgt))
+                        def _():
+                            for val, sr in zip(snap, sout_refs):
+                                sr[...] = val.reshape(sr.shape)
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
-            for sc, val, sr in zip(scratches, carry, sout_refs):
+            for sc, val in zip(scratches, carry):
                 sc[...] = val.reshape(sc.shape)
-                sr[...] = sc[...].reshape(sr.shape)
+            if not pad_needed:
+                for sc, sr in zip(scratches, sout_refs):
+                    sr[...] = sc[...].reshape(sr.shape)
 
         def tile_spec(leaf):
             rest = leaf.shape[:-3]
@@ -198,12 +215,22 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
             def squeeze(x):
                 return x.reshape(x.shape[:-3] + (SUBLANES, LANES))
 
+            # with a padded last chunk the final state lives at sample n-1,
+            # not at the chunk end: seed the state cotangent there (inside
+            # bwd_body) instead of at the sweep start, mirroring the
+            # forward's snapshot placement
+            padded = np_ != n
+            i_tgt = (n - 1) % t_chunk
+
             @pl.when(tr == 0)
             def _():
                 for pg in pg_scr:
                     pg[...] = jnp.zeros_like(pg)
                 for cs, cf in zip(cts_scr, ctf_refs):
-                    cs[...] = cf[...].reshape(cs.shape)
+                    if padded:
+                        cs[...] = jnp.zeros_like(cs)
+                    else:
+                        cs[...] = cf[...].reshape(cs.shape)
 
             p_vals = [squeeze(r[...]).astype(d)
                       for r, d in zip(p_refs, p_dtypes)]
@@ -235,6 +262,15 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 i = t_chunk - 1 - j
                 ct_sf = list(carry[:n_sf])
                 pgrads = list(carry[n_sf:])
+                if padded:
+                    # inject d(loss)/d(final_state) when about to step back
+                    # across sample n-1 (only reached in the last chunk,
+                    # which is tr == 0 of the reversed sweep)
+                    at = jnp.logical_and(tr == 0, i == i_tgt)
+                    ct_sf = [
+                        jnp.where(at, c + cf[...].reshape(c.shape)
+                                  .astype(c.dtype), c)
+                        for c, cf in zip(ct_sf, ctf_refs)]
                 stored = [sc[i].astype(d) if d != jnp.bool_ else
                           sc[i].astype(jnp.bool_)
                           for sc, d in zip(store_scr, s_dtypes)]

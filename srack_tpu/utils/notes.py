@@ -50,10 +50,8 @@ def note_track(events: Iterable[tuple], n_samples: int, sample_rate: int,
     """
     gate = np.zeros(n_samples, dtype=np.float32)
     cv = np.zeros(n_samples, dtype=np.float32)
-    ev = sorted(events, key=lambda e: e[1])
-    last_cv = 0.0
-    pos = 0
-    for pitch, start, dur in ev:
+    written = np.zeros(n_samples, dtype=bool)
+    for pitch, start, dur in sorted(events, key=lambda e: e[1]):
         a = int(round(start * sample_rate))
         b = int(round((start + dur) * sample_rate))
         a, b = max(a, 0), min(b, n_samples)
@@ -62,13 +60,15 @@ def note_track(events: Iterable[tuple], n_samples: int, sample_rate: int,
         if gap_samples and a > 0 and gate[a - 1] > 0.0:
             gate[max(0, a - gap_samples):a] = 0.0
         gate[a:b] = 1.0
-        val = _pitch_cv(pitch)
-        cv[pos:a] = last_cv  # hold previous pitch through the gap
-        cv[a:b] = val
-        last_cv = val
-        pos = b
-    cv[pos:] = last_cv
-    return gate, cv
+        cv[a:b] = _pitch_cv(pitch)
+        written[a:b] = True
+    # hold CV between notes: forward-fill each unwritten sample from the
+    # nearest written sample before it (so a short note nested inside a
+    # longer one hands the pitch back when it ends, rather than stealing
+    # the tail); samples before the first note stay at 0.0
+    idx = np.where(written, np.arange(n_samples), 0)
+    np.maximum.accumulate(idx, out=idx)
+    return gate, cv[idx]
 
 
 def note_tracks(event_lists: Sequence[Iterable[tuple]], n_samples: int,

@@ -46,6 +46,81 @@ def test_fused_kernel_interpret_matches_scan():
                     atol=1e-5)
 
 
+def test_fused_final_state_with_padded_tail():
+    """n NOT a multiple of t_chunk: the kernel's zero-padded tail must not
+    advance the carried state past sample n (regression: the final-state
+    snapshot used to be taken at the padded chunk end)."""
+    from srack_tpu.ops.fused_vjp import make_fused_vjp
+
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patch = subtractive_voice(cfg)
+    compiled = st.compile_patch(patch)
+    v, n = 2, 23  # 23 % 16 != 0 -> padded tail of 9 samples
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    scan = compiled._get_fn(n, batched=True, engine="scan")
+    _, _, state_s = scan(params, state, keys, {})
+
+    for make in (
+        lambda: fused.make_fused_render(compiled, n, t_chunk=16, unroll=4,
+                                        interpret=True),
+        lambda: make_fused_vjp(compiled, n, t_chunk=16, unroll=4,
+                               interpret=True),
+    ):
+        _, _, state_f = jax.jit(make())(params, state, keys, {})
+        for mid, sd in state_s["states"].items():
+            for k, leaf in sd.items():
+                got = np.asarray(state_f["states"][mid][k])
+                want = np.asarray(leaf)
+                if got.dtype == np.int32:
+                    np.testing.assert_array_equal(got, want, err_msg=f"{mid}.{k}")
+                else:
+                    np.testing.assert_allclose(
+                        got.astype(np.float64), want.astype(np.float64),
+                        atol=1e-5, err_msg=f"{mid}.{k}")
+
+
+def test_fused_vjp_padded_tail_final_state_cotangent():
+    """d(loss)/d(initial state) through ct_final must be injected at sample
+    n-1, not at the padded chunk end (bwd mirror of the snapshot fix)."""
+    from srack_tpu.ops.fused_vjp import make_fused_vjp
+
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patch = subtractive_voice(cfg, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(patch)
+    v, n = 2, 23
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    render = make_fused_vjp(compiled, n, t_chunk=16, unroll=4,
+                            interpret=True)
+    scan_fn = compiled.make_render_fn(n, batched=True)
+
+    def loss_of(fn):
+        def loss(prm):
+            _, _, fin = fn(prm, state, keys, {})
+            # a loss purely on the *final state* exercises ct_final
+            return sum((leaf.astype(jnp.float32) ** 2).mean()
+                       for leaf in jax.tree.leaves(fin["states"])
+                       if jnp.issubdtype(leaf.dtype, jnp.floating))
+        return loss
+
+    g1 = jax.grad(loss_of(render))(params)
+    g2 = jax.grad(loss_of(scan_fn))(params)
+    nonzero = 0
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(a64, b64,
+                                   atol=1e-8 + 1e-4 * np.abs(b64).max())
+        nonzero += np.abs(b64).max() > 0
+    assert nonzero >= 2
+
+
 def test_fused_vjp_interpret_matches_scan_grads():
     """Pallas forward + Pallas backward (ops/fused_vjp) vs scan autodiff."""
     from srack_tpu.ops.fused_vjp import make_fused_vjp

@@ -34,6 +34,17 @@ def test_note_track_retrigger_gap():
     assert gate2[a - 1] == 1.0 and gate2[a] == 1.0
 
 
+def test_note_track_nested_note_returns_pitch():
+    # a short note inside a longer one must hand the CV back when it ends
+    sr = 1000
+    gate, cv = note_track([("A4", 0.0, 1.0), ("A5", 0.3, 0.2)], 1000, sr,
+                          gap_samples=0)
+    assert cv[100] == 0.0          # A4 before the inner note
+    assert cv[400] == 1.0          # A5 inside it
+    assert cv[600] == 0.0          # back to A4 for the tail
+    assert gate[600] == 1.0        # outer gate still high
+
+
 def test_note_track_pitch_kinds():
     _, cv = note_track([(69, 0.0, 0.1), (0.5, 0.2, 0.1)], 400, 1000)
     assert cv[50] == 0.0           # MIDI 69 = A4
