@@ -88,25 +88,29 @@ def main() -> None:
     cfg = st.AudioConfig(sample_rate=48000, block_size=1024, channels=1,
                          precision="fast")
 
-    # headline: BASELINE spec -- 1000 subtractive voices, 30 s of 48 kHz
-    # audio each (long renders amortize the ~28 ms per-call transport
-    # overhead; 30 s keeps the [1000, 1, n] f32 output under 6 GB of HBM
-    # -- 40 s renders OOM at this voice count).
+    # headline: BASELINE spec asks for >=1000 concurrent subtractive voices;
+    # we render 1024 = one full (8, 128) VPU lane tile.  A 1000-voice batch
+    # pads to 1024 lanes anyway and the [:1000] output slice then forces a
+    # ~6 GB layout copy that XLA otherwise fuses away (measured 110.7 vs
+    # 92.7 ms for identical kernel work).  30 s renders amortize the
+    # ~28 ms per-call transport; longer OOMs HBM at this voice count.
     # Degrade to shorter renders rather than dying without a JSON line.
     headline = 0.0
     for n_try in (1440000, 960000, 480000, 48000):
         try:
-            headline = bench_config(f"subtractive x1000 x{n_try // 48000}s",
-                                    subtractive_voice(cfg), n_try, 1000)
+            headline = bench_config(f"subtractive x1024 x{n_try // 48000}s",
+                                    subtractive_voice(cfg), n_try, 1024)
             break
         except Exception as e:
             log(f"[headline n={n_try}] failed: {e!r}")
 
     # secondary configs (stderr only); failures must not kill the headline
     for name, patch, n, v in (
-        ("sine x1000 x10s", sine_patch(cfg), 480000, 1000),
+        ("sine x1024 x10s", sine_patch(cfg), 480000, 1024),
         ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
-        ("feedback x1024", feedback_patch(cfg), 48000, 1024),
+        # 10 s renders amortize the ~28 ms transport (the patch itself is
+        # fully serial, so compute is only ~90 cycles/sample)
+        ("feedback x1024 x10s", feedback_patch(cfg), 480000, 1024),
         # sequencers are register-safe select chains -> fused engine; long
         # render amortizes the ~28 ms/call transport like the headline
         ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
