@@ -231,7 +231,14 @@ class CompiledPatch:
         fb_out = {k: values[k] for k in self.fb_keys}
         probe_vals = {
             _probe_key(mid, p): values[(mid, p)] for mid, p in self.probes}
-        audio = jnp.stack(channels) if channels else jnp.zeros((0,), CV_DTYPE)
+        if channels:
+            # an unconnected output channel is a scalar 0 while connected
+            # ones are lane tiles inside the Pallas kernels -- broadcast to
+            # a common shape before stacking
+            target = jnp.broadcast_shapes(*(jnp.shape(c) for c in channels))
+            audio = jnp.stack([jnp.broadcast_to(c, target) for c in channels])
+        else:
+            audio = jnp.zeros((0,), CV_DTYPE)
         return new_states, fb_out, audio, probe_vals
 
     # -- whole-render programs ----------------------------------------------

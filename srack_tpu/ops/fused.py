@@ -97,6 +97,20 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
     cfg = compiled.cfg
     # don't pad a short render out to a full default chunk
     t_chunk = min(t_chunk, _ceil_to(n, unroll))
+    if n % t_chunk:
+        # prefer a chunk size that divides n: the padded-tail path needs an
+        # in-loop final-state snapshot that costs ~17 cycles/sample of lost
+        # pipelining.  Every 48kHz-second render has a divisor here; truly
+        # pathological n (primes) keep the snapshot fallback.
+        # multiples of 16 only, so the unroll depth stays >= 16 (shallow
+        # unrolls measured much slower, scripts/sweep_fused.py)
+        for tc in (256, 240, 224, 208, 192, 176, 160, 144, 128, 112, 96,
+                   80, 64, 48, 32, 16):
+            if tc <= t_chunk and n % tc == 0:
+                t_chunk = tc
+                break
+    while t_chunk % unroll:
+        unroll //= 2
     np_ = _ceil_to(n, t_chunk)
     n_chunks = np_ // t_chunk
     n_channels = cfg.channels

@@ -24,15 +24,16 @@ FUZZ_TYPES = [
 ]
 
 
-def random_patch(seed: int, buffer_feedback=False):
+def random_patch(seed: int, buffer_feedback=False, precision="exact",
+                 types=FUZZ_TYPES):
     rng = random.Random(seed)
     cfg = st.AudioConfig(sample_rate=4800, block_size=32, channels=2,
-                         precision="exact", buffer_feedback=buffer_feedback)
+                         precision=precision, buffer_feedback=buffer_feedback)
     p = st.Patch(cfg)
     n_modules = rng.randint(3, 9)
     mods = []
     for _ in range(n_modules):
-        t = rng.choice(FUZZ_TYPES)
+        t = rng.choice(types)
         kwargs = {}
         if t == "Oscillator":
             kwargs["val"] = rng.uniform(-6, 1)
@@ -103,6 +104,37 @@ def test_fuzz_block_matches_scan(seed):
     assert np.isfinite(np.asarray(a_scan)).all()
     np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_scan),
                                atol=3e-4, rtol=0)
+
+
+@pytest.mark.parametrize("seed,n", [(30, 37), (31, 101), (32, 163),
+                                    (33, 97)])
+def test_fuzz_fused_odd_n_matches_scan(seed, n):
+    """Fast-mode fused kernel (interpret) vs scan at renders whose length
+    is NOT a multiple of any chunk size: audio AND final state must agree
+    (regression coverage for the padded-tail snapshot path)."""
+    from srack_tpu.ops import fused
+
+    register_types = [t for t in FUZZ_TYPES if t != "Freeverb"]
+    p = random_patch(seed, precision="fast", types=register_types)
+    compiled = st.compile_patch(p)
+    assert compiled.fused_eligible()
+    v = 2
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(seed), v)
+    a_scan, _, s_scan = compiled.render(n, params=params, state=state,
+                                        key=keys, batched=True,
+                                        engine="scan")
+    run = jax.jit(fused.make_fused_render(compiled, n, t_chunk=16, unroll=4,
+                                          interpret=True))
+    a_fus, _, s_fus = run(params, state, keys, {})
+    np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_scan),
+                               atol=2e-5, rtol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b, np.float64), np.asarray(a, np.float64), atol=2e-5),
+        s_scan, s_fus)
 
 
 def test_noise_path_matches_oracle_with_injected_lanes():
