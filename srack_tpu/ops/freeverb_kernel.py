@@ -76,37 +76,49 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
         hin_refs = refs[3:3 + n_comb + n_ap]
         out_l_ref, out_r_ref, fs_ref = refs[3 + n_comb + n_ap:
                                             6 + n_comb + n_ap]
-        h_refs = refs[6 + n_comb + n_ap:]
+        h_refs = refs[6 + n_comb + n_ap:-1]
+        pow_scr = refs[-1]
 
         t = pl.program_id(1)
+
+        damp = gp_ref[:, 0:1]
+        feed = gp_ref[:, 1:2]
+        one_m = 1.0 - damp
 
         @pl.when(t == 0)
         def _():
             fs_ref[...] = fs_in_ref[...]
             for hr, hi in zip(h_refs, hin_refs):
                 hr[...] = hi[...]
+            # damp^(t+1) lane vector, shared by all 16 combs and constant
+            # across chunks: one doubling per voice tile instead of one
+            # general affine chain per comb per chunk
+            P = jnp.broadcast_to(damp, (damp.shape[0], t_c))
+            s = 1
+            while s < t_c:
+                P = P * _shift(P, s, 1.0)
+                s <<= 1
+            pow_scr[...] = P
 
         mixed = mixed_ref[...]
-        damp = gp_ref[:, 0:1]
-        feed = gp_ref[:, 1:2]
-        one_m = 1.0 - damp
+        P = pow_scr[...]
 
         ys = []
         for j in range(n_comb):
             h = h_refs[j][...]
             y = h[:, :t_c]
-            # damping one-pole fs[t] = damp*fs[t-1] + (1-damp)*y[t]:
-            # log-doubling affine composition in VMEM
-            A = jnp.broadcast_to(damp, y.shape)
+            # damping one-pole fs[t] = damp*fs[t-1] + (1-damp)*y[t]: the
+            # coefficient is per-voice constant, so the log-doubling scan
+            # only carries B (one lane-shift per pass; the damp^s factor is
+            # a [rows, 1] scalar squared each pass)
             B = y * one_m
+            ds = damp
             s = 1
             while s < t_c:
-                A_s = _shift(A, s, 1.0)
-                B_s = _shift(B, s, 0.0)
-                B = A * B_s + B
-                A = A * A_s
+                B = B + ds * _shift(B, s, 0.0)
+                ds = ds * ds
                 s <<= 1
-            fs_t = A * fs_ref[:, j:j + 1] + B
+            fs_t = P * fs_ref[:, j:j + 1] + B
             w = mixed + fs_t * feed
             # (empty [rows, 0] slices are invalid Mosaic vectors)
             h_refs[j][...] = (w if t_c == h.shape[1] else
@@ -175,6 +187,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((VB, t_c), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
