@@ -137,6 +137,13 @@ def _adsr_block_impl(cfg, params, state, gate, n):
 
     jd0 = _stage_len(zero, inc_d)   # in-block decay length (offset 0)
     jr0 = _stage_len(zero, inc_r)   # in-block release length
+    # attack lengths for the only two attack entry phases an in-block event
+    # can produce (classify's new_p0 is 0 or inc_r by construction): lets
+    # stretch_arrays select between two per-voice constants instead of
+    # running the 8-probe _stage_len over the whole [n, lane] block -- the
+    # probes were ~40 elementwise passes per classify round
+    ja0 = _stage_len(zero, inc_a)
+    jar = _stage_len(jnp.broadcast_to(inc_r, lane).astype(CV_DTYPE), inc_a)
 
     # events: gate edges + carried-idle level trigger at t=0
     # (idle enters Attack on gate *level*, synth.rs mode None arm)
@@ -151,7 +158,7 @@ def _adsr_block_impl(cfg, params, state, gate, n):
         a_t = jnp.where(has, a_f, a_virt)
         idle_t = jnp.where(has, idle_f == 1, idle_v)
         p0a_t = jnp.where(has, p0a_f, p0a_v)
-        d1_t = jnp.where(has, _stage_len(p0a_t, inc_a), d1_v)
+        d1_t = jnp.where(has, jnp.where(p0a_f == 0.0, ja0, jar), d1_v)
         ts_t = jnp.where(has, jnp.minimum(d1_t + jd0, BIG), ts_v)
         p0d_t = jnp.where(has, zero, p0d_v)
         p0r_t = jnp.where(has, zero, p0r_v)
