@@ -44,11 +44,16 @@ from .config import AudioConfig
 from .modules.base import CV_DTYPE
 from .ops import serial_kernel
 
-# module types whose per-sample recurrence cannot be expressed as a
-# parallel prefix operation (Freeverb and Sample aren't here: delay lines
-# are chunk-parallel and triggered playback is segment-parallel; ADSR is
-# segment-parallel between gate edges -- see ops/adsr_block.py)
-SERIAL_TYPES = frozenset({"Moog Filter"})
+# module types the block engine runs per-sample in the serial stage.
+# Moog's ladder recurrence has no parallel-prefix form.  ADSR *does* have
+# a segment-parallel whole-block form (ops/adsr_block.py) but the serial
+# Pallas stage kernel beats it at farm scale -- measured 1024x48k on v5e:
+# serial ~2 ms marginal vs ~21 ms for the event-classify machinery
+# (the envelope is ~15 register ops/sample; classify needs ~10 full-block
+# elementwise passes per fixed-point round).  Freeverb and Sample stay
+# block-side: delay lines are chunk-parallel, triggered playback is
+# segment-parallel.
+SERIAL_TYPES = frozenset({"Moog Filter", "ADSR"})
 
 # serial-stage types safe for the Pallas kernel (pure register math)
 PALLAS_SAFE = frozenset({

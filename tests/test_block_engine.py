@@ -43,10 +43,11 @@ def test_partition_subtractive():
     types = {mid: compiled.instances[mid][0].type_name
              for mid in compiled.instances}
     stage_types = sorted(types[m] for m in prog.stage_plan)
-    # only the true serial core (the Moog ladder) stays per-sample; the
-    # ADSR is segment-parallel (ops/adsr_block.py) and joins the pre phase
-    assert stage_types == ["Moog Filter"]
-    assert len(prog.pre_plan) == 5 and len(prog.post_plan) == 2
+    # the recurrence cores run per-sample in the serial stage (ADSR by
+    # measured preference over its segment-parallel form, see
+    # block_engine.SERIAL_TYPES); oscillators/mixers stay block-wise
+    assert stage_types == ["ADSR", "Moog Filter"]
+    assert len(prog.pre_plan) == 4 and len(prog.post_plan) == 2
 
 
 def test_partition_pure_block():
