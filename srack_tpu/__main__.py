@@ -109,6 +109,50 @@ def _cmd_render(args) -> int:
     return 0
 
 
+def _cmd_midi(args) -> int:
+    """Render a .mid file through a gate/CV-driven subtractive voice."""
+    import numpy as np
+
+    from . import engine
+    from .config import AudioConfig
+    from .io.midi import read_midi
+    from .io.wav import write_wav
+    from .patch import Patch
+    from .utils.notes import note_track
+
+    events = read_midi(args.source, channel=args.channel)
+    if not events:
+        raise SystemExit("no notes found in MIDI file")
+    sr = args.sample_rate or 48000
+    tail = 0.5  # let the release ring out
+    n = int(round((max(s + d for _, s, d in events) + tail) * sr))
+
+    cfg = AudioConfig(sample_rate=sr, channels=1, precision="fast")
+    p = Patch(cfg)
+    gate_in = p.add("Input", name="gate")
+    cv_in = p.add("Input", name="cv")
+    osc = p.add("Oscillator")
+    flt = p.add("Moog Filter", freq=0.5, res=0.3)
+    env = p.add("ADSR", a_sec=0.01, d_sec=0.1, s_val=0.6, r_sec=0.2)
+    vca = p.add("VCA")
+    p.connect(cv_in, 0, osc, "CV")
+    p.connect(gate_in, 0, env, "Gate")
+    p.connect(osc, "Sawtooth", flt, "Audio")
+    p.connect(flt, 0, vca, "Audio")
+    p.connect(env, 0, vca, "CV")
+    p.connect(vca, 0, p.output, 0)
+
+    gate, cv = note_track(events, n, sr)
+    audio, _, _ = engine.render(p, n, drivers={gate_in: gate, cv_in: cv},
+                                engine=args.engine)
+    out = args.output or "out.wav"
+    a = np.asarray(audio)
+    write_wav(out, a, sr, bits=args.bits)
+    print(f"rendered {len(events)} notes, {n / sr:.2f}s, "
+          f"peak {float(np.abs(a).max()):.3f} -> {out}")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from .planner import plan_execution
 
@@ -200,6 +244,18 @@ def main(argv=None) -> int:
     ip = sub.add_parser("info", help="inspect a patch")
     add_source_opts(ip)
     ip.set_defaults(fn=_cmd_info)
+
+    mid = sub.add_parser("midi", help="render a .mid file through a "
+                         "built-in subtractive voice")
+    mid.add_argument("source", help=".mid file")
+    mid.add_argument("-o", "--output", default=None, help="output WAV path")
+    mid.add_argument("--channel", type=int, default=None,
+                     help="only this MIDI channel (default: all)")
+    mid.add_argument("--sample-rate", type=int, default=None)
+    mid.add_argument("--engine", choices=("auto", "scan", "block", "fused"),
+                     default="auto")
+    mid.add_argument("--bits", type=int, default=16, choices=(16, 32))
+    mid.set_defaults(fn=_cmd_midi)
 
     mp = sub.add_parser("modules", help="list the module catalog")
     mp.set_defaults(fn=_cmd_modules)
