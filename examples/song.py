@@ -15,31 +15,12 @@ import sys
 import numpy as np
 
 import srack_tpu as st
-from srack_tpu.presets import drum_machine
+from srack_tpu.presets import drum_machine, gate_cv_voice
 from srack_tpu.utils.notes import note_track
 
 SR = 48000
 SECONDS = 8.0
 N = int(SR * SECONDS)
-
-
-def voice_patch(cfg, *, cutoff=0.45, res=0.35, a=0.01, d=0.1, s=0.6, r=0.2,
-                wave="Sawtooth"):
-    """Gate/CV-driven subtractive voice (Inputs instead of a clock)."""
-    p = st.Patch(cfg)
-    gate = p.add("Input", name="gate")
-    cv = p.add("Input", name="cv")
-    osc = p.add("Oscillator", val=0.0, name="osc")
-    flt = p.add("Moog Filter", freq=cutoff, res=res)
-    env = p.add("ADSR", a_sec=a, d_sec=d, s_val=s, r_sec=r)
-    vca = p.add("VCA")
-    p.connect(cv, 0, osc, "CV")
-    p.connect(gate, 0, env, "Gate")
-    p.connect(osc, wave, flt, "Audio")
-    p.connect(flt, 0, vca, "Audio")
-    p.connect(env, 0, vca, "CV")
-    p.connect(vca, 0, p.output, 0)
-    return p, gate, cv
 
 
 def bar(notes, t0):
@@ -68,8 +49,8 @@ def main(out_path="song.wav"):
         bass_line += bar([(root, b, 0.45) for b in range(4)], rep * 2.0)
     bass_gate, bass_cv = note_track(bass_line, N, SR)
 
-    lead, lg, lc = voice_patch(cfg, cutoff=0.5, res=0.3)
-    bass, bg, bc = voice_patch(cfg, cutoff=0.3, res=0.5, d=0.15, s=0.4,
+    lead, lg, lc = gate_cv_voice(cfg, cutoff=0.5, res=0.3)
+    bass, bg, bc = gate_cv_voice(cfg, cutoff=0.3, res=0.5, d=0.15, s=0.4,
                                wave="Square")
 
     lead_audio, _, _ = st.render(lead, N,

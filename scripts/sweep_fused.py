@@ -36,8 +36,10 @@ def main():
                          compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), V)
     for unroll, t_chunk in CONFIGS:
+        # auto_chunk=False: measure the labeled config, not the divisor
+        # search's remap of it
         fn = jax.jit(fused.make_fused_render(
-            compiled, N, t_chunk=t_chunk, unroll=unroll))
+            compiled, N, t_chunk=t_chunk, unroll=unroll, auto_chunk=False))
         meter = make_meter(fn)
         t0 = time.perf_counter()
         float(meter(params, state, keys, {}))

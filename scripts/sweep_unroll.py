@@ -25,7 +25,7 @@ def bench(name, patch, t_chunk, unroll):
     state = jax.tree.map(lambda a: jnp.broadcast_to(a, (V,) + a.shape),
                          compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), V)
-    fn = jax.jit(fused.make_fused_render(compiled, N, t_chunk=t_chunk,
+    fn = jax.jit(fused.make_fused_render(compiled, N, t_chunk=t_chunk, auto_chunk=False,
                                          unroll=unroll))
     out = fn(params, state, keys, {})
     float(jnp.abs(out[0]).max())

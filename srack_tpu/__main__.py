@@ -65,8 +65,17 @@ def _load_patch(source: str, args):
     if overrides:
         # replace only the overridden fields, preserving the source's own
         # defaults (e.g. the sine preset is mono; --sample-rate must not
-        # silently flip it to the dataclass default of 2 channels)
+        # silently flip it to the dataclass default of 2 channels).
+        # set_audio_config mirrors the reference's Output-disconnect
+        # behaviour (output.rs:39-44), which would leave the patch silent
+        # -- re-apply the saved wiring wherever the port still exists.
+        saved = patch.connections()
         patch.set_audio_config(dataclasses.replace(patch.config, **overrides))
+        for src, sport, sink, sport2 in saved:
+            inst = patch[sink]
+            if sport2 < len(inst.inputs) and inst.inputs[sport2] is None:
+                patch.connect(patch.handle(src), sport,
+                              patch.handle(sink), sport2)
     if patch.config.exact:
         # exact mode keeps f64 phase/reverb state (oscillator.py docstring);
         # without x64 JAX silently downcasts and the precision is a lie
@@ -117,8 +126,9 @@ def _cmd_midi(args) -> int:
     from .config import AudioConfig
     from .io.midi import read_midi
     from .io.wav import write_wav
-    from .patch import Patch
     from .utils.notes import note_track
+
+    from .presets import gate_cv_voice
 
     events = read_midi(args.source, channel=args.channel)
     if not events:
@@ -128,19 +138,7 @@ def _cmd_midi(args) -> int:
     n = int(round((max(s + d for _, s, d in events) + tail) * sr))
 
     cfg = AudioConfig(sample_rate=sr, channels=1, precision="fast")
-    p = Patch(cfg)
-    gate_in = p.add("Input", name="gate")
-    cv_in = p.add("Input", name="cv")
-    osc = p.add("Oscillator")
-    flt = p.add("Moog Filter", freq=0.5, res=0.3)
-    env = p.add("ADSR", a_sec=0.01, d_sec=0.1, s_val=0.6, r_sec=0.2)
-    vca = p.add("VCA")
-    p.connect(cv_in, 0, osc, "CV")
-    p.connect(gate_in, 0, env, "Gate")
-    p.connect(osc, "Sawtooth", flt, "Audio")
-    p.connect(flt, 0, vca, "Audio")
-    p.connect(env, 0, vca, "CV")
-    p.connect(vca, 0, p.output, 0)
+    p, gate_in, cv_in = gate_cv_voice(cfg)
 
     gate, cv = note_track(events, n, sr)
     audio, _, _ = engine.render(p, n, drivers={gate_in: gate, cv_in: cv},

@@ -111,6 +111,8 @@ def read_midi(path_or_bytes, *, channel: Optional[int] = None):
 
     events = []
     for trk in tracks:
+        # FIFO per (channel, note): overlapping same-note notes (sustain /
+        # legato DAW exports) pair each off with the earliest open on
         open_notes: dict = {}
         last_tick = max((t for t, _, _ in trk), default=0)
         for tick, kind, payload in trk:
@@ -118,18 +120,20 @@ def read_midi(path_or_bytes, *, channel: Optional[int] = None):
                 ch, note, _vel = payload
                 if channel is not None and ch != channel:
                     continue
-                open_notes[(ch, note)] = tick
+                open_notes.setdefault((ch, note), []).append(tick)
             elif kind == "off":
                 ch, note = payload
                 if channel is not None and ch != channel:
                     continue
-                t0 = open_notes.pop((ch, note), None)
-                if t0 is not None:
+                stack = open_notes.get((ch, note))
+                if stack:
+                    t0 = stack.pop(0)
                     events.append(
                         (note, tick_to_sec(t0),
                          tick_to_sec(tick) - tick_to_sec(t0)))
-        for (ch, note), t0 in open_notes.items():  # missing note-offs
-            events.append((note, tick_to_sec(t0),
-                           tick_to_sec(last_tick) - tick_to_sec(t0)))
+        for (ch, note), starts in open_notes.items():  # missing note-offs
+            for t0 in starts:
+                events.append((note, tick_to_sec(t0),
+                               tick_to_sec(last_tick) - tick_to_sec(t0)))
     events.sort(key=lambda e: e[1])
     return events

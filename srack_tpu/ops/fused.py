@@ -83,7 +83,8 @@ def _from_tiles(leaf, v, dtype):
 
 
 def make_fused_render(compiled, n: int, t_chunk: int = 256,
-                      unroll: int = 32, interpret: bool = None):
+                      unroll: int = 32, interpret: bool = None,
+                      auto_chunk: bool = True):
     # defaults from the (unroll, t_chunk) sweep (scripts/sweep_fused.py,
     # v5e, subtractive voice @1024 lanes): (32, 256) runs 42.9
     # cycles/sample vs 59.7 for the old (8, 512) -- deeper unroll exposes
@@ -97,7 +98,7 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
     cfg = compiled.cfg
     # don't pad a short render out to a full default chunk
     t_chunk = min(t_chunk, _ceil_to(n, unroll))
-    if n % t_chunk:
+    if n % t_chunk and auto_chunk:
         # prefer a chunk size that divides n: the padded-tail path needs an
         # in-loop final-state snapshot that costs ~17 cycles/sample of lost
         # pipelining.  Every 48kHz-second render has a divisor here; truly
@@ -321,8 +322,8 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
         # state past the block boundary *every block* (compounding), since
         # the outer scan re-enters the kernel with the carried state
         t_chunk = block
-    if t_chunk % unroll:
-        unroll = 1
+    while t_chunk % unroll:
+        unroll //= 2
     bp = _ceil_to(block, t_chunk)
     n_chunks = bp // t_chunk
     assert bp == block

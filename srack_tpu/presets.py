@@ -63,6 +63,35 @@ def subtractive_voice(cfg: AudioConfig | None = None, *,
     return p
 
 
+def gate_cv_voice(cfg: AudioConfig | None = None, *, cutoff: float = 0.5,
+                  res: float = 0.3, a: float = 0.01, d: float = 0.1,
+                  s: float = 0.6, r: float = 0.2, wave: str = "Sawtooth"):
+    """Subtractive voice driven by external gate + pitch-CV Inputs.
+
+    The playable counterpart of :func:`subtractive_voice` (which carries
+    its own clock): bind driver lanes from ``utils.notes.note_track`` /
+    ``io.read_midi`` to the returned handles.  Returns
+    ``(patch, gate_input, cv_input)``.
+    """
+    cfg = cfg or AudioConfig(channels=1)
+    p = Patch(cfg)
+    gate = p.add("Input", name="gate")
+    cv = p.add("Input", name="cv")
+    osc = p.add("Oscillator", name="osc")
+    flt = p.add("Moog Filter", freq=cutoff, res=res)
+    env = p.add("ADSR", a_sec=a, d_sec=d, s_val=s, r_sec=r)
+    vca = p.add("VCA")
+    p.connect(cv, 0, osc, "CV")
+    p.connect(gate, 0, env, "Gate")
+    p.connect(osc, wave, flt, "Audio")
+    p.connect(flt, 0, vca, "Audio")
+    p.connect(env, 0, vca, "CV")
+    p.connect(vca, 0, p.output, 0)
+    if cfg.channels > 1:
+        p.connect(vca, 0, p.output, 1)
+    return p, gate, cv
+
+
 def sequencer_patch(cfg: AudioConfig | None = None) -> Patch:
     """Clock + grid/pattern sequencers driving 8 subtractive voices."""
     cfg = cfg or AudioConfig(channels=1)

@@ -64,6 +64,18 @@ def test_render_srk_roundtrip(tmp_path, capsys):
     assert audio.shape[-1] == 2048
 
 
+def test_render_with_override_keeps_wiring(tmp_path, capsys):
+    """Config overrides go through set_audio_config, whose reference-parity
+    Output disconnect (output.rs:39-44) must not silence the CLI render."""
+    out_path = tmp_path / "sine44.wav"
+    rc, _ = run_cli(["render", "sine", "-o", str(out_path),
+                     "--sample-rate", "44100", "--samples", "4096"], capsys)
+    assert rc == 0
+    audio, sr = read_wav(str(out_path))
+    assert sr == 44100
+    assert np.abs(audio).max() > 0.5  # regression: was all-zero
+
+
 def test_info_shows_plan_and_feedback(capsys):
     rc, out = run_cli(["info", "feedback"], capsys)
     assert rc == 0

@@ -68,6 +68,20 @@ def test_missing_note_off_held_to_track_end():
     assert abs(held[2] - (1200 * 500000 / (480 * 1e6))) < 1e-9
 
 
+def test_overlapping_same_note_pairs_fifo():
+    """on(60) on(60) off(60) off(60): both notes survive, offs pair with
+    the earliest open on (DAW sustain/legato exports do this)."""
+    notes = _track([(0, b"\x90\x3c\x64"), (480, b"\x90\x3c\x64"),
+                    (480, b"\x80\x3c\x40"), (480, b"\x80\x3c\x40")])
+    events = read_midi(_smf([notes], fmt=0))
+    assert len(events) == 2
+    spq = 0.5  # 480 ticks at default 120 bpm
+    (n1, s1, d1), (n2, s2, d2) = events
+    assert n1 == n2 == 60
+    assert (abs(s1) < 1e-9 and abs(d1 - 2 * spq) < 1e-9)      # 0 -> 960
+    assert (abs(s2 - spq) < 1e-9 and abs(d2 - 2 * spq) < 1e-9)  # 480 -> 1440
+
+
 def test_cli_midi_render(tmp_path, capsys):
     from srack_tpu.__main__ import main
     from srack_tpu.io.wav import read_wav
