@@ -119,16 +119,17 @@ def _cmd_render(args) -> int:
 
 
 def _cmd_midi(args) -> int:
-    """Render a .mid file through a gate/CV-driven subtractive voice."""
+    """Render a .mid file through gate/CV-driven subtractive voices
+    (polyphonic: notes are allocated onto ``--voices`` monophonic lanes and
+    batch-rendered, one VPU lane per voice)."""
     import numpy as np
 
     from . import engine
     from .config import AudioConfig
     from .io.midi import read_midi
     from .io.wav import write_wav
-    from .utils.notes import note_track
-
     from .presets import gate_cv_voice
+    from .utils.notes import allocate_voices, note_tracks
 
     events = read_midi(args.source, channel=args.channel)
     if not events:
@@ -140,14 +141,21 @@ def _cmd_midi(args) -> int:
     cfg = AudioConfig(sample_rate=sr, channels=1, precision="fast")
     p, gate_in, cv_in = gate_cv_voice(cfg)
 
-    gate, cv = note_track(events, n, sr)
-    audio, _, _ = engine.render(p, n, drivers={gate_in: gate, cv_in: cv},
-                                engine=args.engine)
+    v = max(1, args.voices)
+    lanes = allocate_voices(events, v)
+    gates, cvs = note_tracks(lanes, n, sr)
+    params = engine.replicate_params(p.params(), v)
+    audio, _, _ = engine.render_batch(
+        p, n, params=params,
+        drivers={gate_in: gates, cv_in: cvs}, engine=args.engine)
+    a = np.asarray(audio).sum(axis=0)  # mix the voice lanes
+    peak = float(np.abs(a).max())
+    if peak > 1.0:
+        a = a / (peak * 1.02)
     out = args.output or "out.wav"
-    a = np.asarray(audio)
     write_wav(out, a, sr, bits=args.bits)
-    print(f"rendered {len(events)} notes, {n / sr:.2f}s, "
-          f"peak {float(np.abs(a).max()):.3f} -> {out}")
+    print(f"rendered {len(events)} notes on {v} voices, {n / sr:.2f}s, "
+          f"peak {peak:.3f} -> {out}")
     return 0
 
 
@@ -249,6 +257,8 @@ def main(argv=None) -> int:
     mid.add_argument("-o", "--output", default=None, help="output WAV path")
     mid.add_argument("--channel", type=int, default=None,
                      help="only this MIDI channel (default: all)")
+    mid.add_argument("--voices", type=int, default=8,
+                     help="polyphony (monophonic lanes, oldest-note steal)")
     mid.add_argument("--sample-rate", type=int, default=None)
     mid.add_argument("--engine", choices=("auto", "scan", "block", "fused"),
                      default="auto")

@@ -214,7 +214,8 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
 
 def render_batch(patch: Patch, n_samples: int, *, params: dict,
                  state: Optional[dict] = None, key=None, drivers=None,
-                 automation: Optional[dict] = None, probes: Sequence = ()):
+                 automation: Optional[dict] = None, probes: Sequence = (),
+                 engine: str = "auto"):
     """Render a batch of voices of one topology in parallel.
 
     ``params`` must carry a leading voice axis on every leaf (see
@@ -228,4 +229,4 @@ def render_batch(patch: Patch, n_samples: int, *, params: dict,
                              automation=tuple(automation or ()))
     return compiled.render(n_samples, params=params, state=state, key=key,
                            drivers=drivers, automation=automation,
-                           batched=True)
+                           batched=True, engine=engine)

@@ -97,6 +97,33 @@ def test_cli_midi_render(tmp_path, capsys):
     assert 0.05 < np.abs(audio).max() <= 1.0
 
 
+def test_cli_midi_polyphonic_chord(tmp_path, capsys):
+    """A held 3-note chord must sound all notes at once (voice allocation
+    over batch lanes), which a monophonic render cannot."""
+    from srack_tpu.__main__ import main
+    from srack_tpu.io.wav import read_wav
+
+    chord = _track([
+        (0, b"\x90\x3c\x64"), (0, b"\x90\x40\x64"), (0, b"\x90\x43\x64"),
+        (960, b"\x80\x3c\x40"), (0, b"\x80\x40\x40"), (0, b"\x80\x43\x40"),
+    ])
+    mid = tmp_path / "chord.mid"
+    mid.write_bytes(_smf([chord], fmt=0))
+    out = tmp_path / "chord.wav"
+    rc = main(["midi", str(mid), "-o", str(out), "--sample-rate", "8000",
+               "--voices", "4"])
+    assert rc == 0
+    audio, sr = read_wav(str(out))
+    # all three partials present in the sustain: check the spectrum
+    seg = audio[2000:8000].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / sr)
+    for midi_note in (60, 64, 67):
+        f0 = 440.0 * 2 ** ((midi_note - 69) / 12)
+        band = spec[(freqs > f0 * 0.97) & (freqs < f0 * 1.03)].max()
+        assert band > spec.mean() * 10, f"note {midi_note} missing"
+
+
 def test_midi_to_audio_end_to_end(tmp_path):
     path = tmp_path / "riff.mid"
     path.write_bytes(make_fixture())

@@ -58,6 +58,29 @@ def test_note_tracks_batch():
     assert cvs[0, 100] == 0.0 and cvs[1, 100] == -1.0
 
 
+def test_allocate_voices_spreads_chord():
+    from srack_tpu.utils.notes import allocate_voices
+    chord = [("C4", 0.0, 1.0), ("E4", 0.0, 1.0), ("G4", 0.0, 1.0)]
+    lanes = allocate_voices(chord, 4)
+    assert sorted(len(l) for l in lanes) == [0, 1, 1, 1]
+    # sequential notes reuse lanes
+    melody = [("C4", 0.0, 0.4), ("D4", 0.5, 0.4), ("E4", 1.0, 0.4)]
+    lanes = allocate_voices(melody, 2)
+    assert sum(len(l) for l in lanes) == 3
+
+
+def test_allocate_voices_steals_oldest_and_truncates():
+    from srack_tpu.utils.notes import allocate_voices
+    ev = [("C4", 0.0, 10.0), ("E4", 0.1, 10.0), ("G4", 0.2, 10.0)]
+    lanes = allocate_voices(ev, 2)
+    # C4 (oldest) was stolen at t=0.2 and truncated to dur 0.2
+    c4 = [e for lane in lanes for e in lane
+          if abs(e[1]) < 1e-9 and e[0] == "C4"][0]
+    assert abs(c4[2] - 0.2) < 1e-9
+    # all three notes exist
+    assert sum(len(l) for l in lanes) == 3
+
+
 def test_notes_drive_a_voice_end_to_end():
     """A two-note melody through gate+CV Inputs into ADSR + oscillator."""
     cfg = st.AudioConfig(sample_rate=8000, block_size=64, channels=1,
