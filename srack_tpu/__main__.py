@@ -76,6 +76,15 @@ def _load_patch(source: str, args):
             if sport2 < len(inst.inputs) and inst.inputs[sport2] is None:
                 patch.connect(patch.handle(src), sport,
                               patch.handle(sink), sport2)
+        # channel upscaling: mirror channel 0 into newly added output
+        # ports (the presets' own stereo convention) instead of leaving
+        # them silently disconnected
+        out_inst = patch[patch.output]
+        if out_inst.inputs and out_inst.inputs[0] is not None:
+            src, sport = out_inst.inputs[0]
+            for c in range(1, len(out_inst.inputs)):
+                if out_inst.inputs[c] is None:
+                    patch.connect(patch.handle(src), sport, patch.output, c)
     if patch.config.exact:
         # exact mode keeps f64 phase/reverb state (oscillator.py docstring);
         # without x64 JAX silently downcasts and the precision is a lie
@@ -145,17 +154,30 @@ def _cmd_midi(args) -> int:
     lanes = allocate_voices(events, v)
     gates, cvs = note_tracks(lanes, n, sr)
     params = engine.replicate_params(p.params(), v)
-    audio, _, _ = engine.render_batch(
-        p, n, params=params,
-        drivers={gate_in: gates, cv_in: cvs}, engine=args.engine)
-    a = np.asarray(audio).sum(axis=0)  # mix the voice lanes
-    peak = float(np.abs(a).max())
+
+    # segment long renders (device calls hold their whole output in HBM);
+    # state carries across segments so envelopes/oscillators continue
+    seg = 48000 * 20
+    mixed = np.zeros((cfg.channels, n), np.float32)
+    state = None
+    done = 0
+    while done < n:
+        m = min(seg, n - done)
+        audio, _, state = engine.render_batch(
+            p, m, params=params, state=state,
+            drivers={gate_in: gates[:, done:done + m],
+                     cv_in: cvs[:, done:done + m]},
+            engine=args.engine)
+        mixed[:, done:done + m] = np.asarray(audio).sum(axis=0)
+        done += m
+    peak = float(np.abs(mixed).max())
     if peak > 1.0:
-        a = a / (peak * 1.02)
+        mixed = mixed / (peak * 1.02)
     out = args.output or "out.wav"
-    write_wav(out, a, sr, bits=args.bits)
+    write_wav(out, mixed, sr, bits=args.bits)
     print(f"rendered {len(events)} notes on {v} voices, {n / sr:.2f}s, "
-          f"peak {peak:.3f} -> {out}")
+          f"mix peak {peak:.3f}, written peak "
+          f"{float(np.abs(mixed).max()):.3f} -> {out}")
     return 0
 
 

@@ -120,7 +120,16 @@ def read_midi(path_or_bytes, *, channel: Optional[int] = None):
                 ch, note, _vel = payload
                 if channel is not None and ch != channel:
                     continue
-                open_notes.setdefault((ch, note), []).append(tick)
+                stack = open_notes.setdefault((ch, note), [])
+                if stack:
+                    # retrigger while held (hardware often re-sends note-on
+                    # without an off): close the earlier note here rather
+                    # than leave it open -- an unbalanced on would
+                    # otherwise become a phantom drone held to track end
+                    t0 = stack.pop(0)
+                    events.append((note, tick_to_sec(t0),
+                                   tick_to_sec(tick) - tick_to_sec(t0)))
+                stack.append(tick)
             elif kind == "off":
                 ch, note = payload
                 if channel is not None and ch != channel:

@@ -76,6 +76,22 @@ def test_render_with_override_keeps_wiring(tmp_path, capsys):
     assert np.abs(audio).max() > 0.5  # regression: was all-zero
 
 
+def test_render_channel_upscale_mirrors(tmp_path, capsys):
+    """--channels 2 on a mono preset mirrors channel 0 (the presets' own
+    stereo convention) instead of writing a silent right channel."""
+    import struct
+    out_path = tmp_path / "sine2ch.wav"
+    rc, _ = run_cli(["render", "sine", "-o", str(out_path),
+                     "--channels", "2", "--samples", "2048"], capsys)
+    assert rc == 0
+    raw = out_path.read_bytes()
+    n_ch = struct.unpack("<H", raw[22:24])[0]
+    assert n_ch == 2
+    pcm = np.frombuffer(raw[44:], dtype="<i2").reshape(-1, 2)
+    assert np.abs(pcm[:, 1]).max() > 1000  # right channel audible
+    np.testing.assert_array_equal(pcm[:, 0], pcm[:, 1])
+
+
 def test_info_shows_plan_and_feedback(capsys):
     rc, out = run_cli(["info", "feedback"], capsys)
     assert rc == 0

@@ -68,9 +68,10 @@ def test_missing_note_off_held_to_track_end():
     assert abs(held[2] - (1200 * 500000 / (480 * 1e6))) < 1e-9
 
 
-def test_overlapping_same_note_pairs_fifo():
-    """on(60) on(60) off(60) off(60): both notes survive, offs pair with
-    the earliest open on (DAW sustain/legato exports do this)."""
+def test_same_note_retrigger_closes_previous():
+    """on(60) on(60) off(60) off(60): the second on retriggers -- the
+    first note ends there (no phantom drone if the off never comes), and
+    the extra off is a no-op."""
     notes = _track([(0, b"\x90\x3c\x64"), (480, b"\x90\x3c\x64"),
                     (480, b"\x80\x3c\x40"), (480, b"\x80\x3c\x40")])
     events = read_midi(_smf([notes], fmt=0))
@@ -78,8 +79,21 @@ def test_overlapping_same_note_pairs_fifo():
     spq = 0.5  # 480 ticks at default 120 bpm
     (n1, s1, d1), (n2, s2, d2) = events
     assert n1 == n2 == 60
-    assert (abs(s1) < 1e-9 and abs(d1 - 2 * spq) < 1e-9)      # 0 -> 960
-    assert (abs(s2 - spq) < 1e-9 and abs(d2 - 2 * spq) < 1e-9)  # 480 -> 1440
+    assert (abs(s1) < 1e-9 and abs(d1 - spq) < 1e-9)          # 0 -> 480
+    assert (abs(s2 - spq) < 1e-9 and abs(d2 - spq) < 1e-9)    # 480 -> 960
+
+
+def test_retrigger_without_off_no_phantom_drone():
+    """on(60)@0, on(60)@480, off(60)@500: two bounded notes, nothing held
+    to the end of the track."""
+    notes = _track([(0, b"\x90\x3c\x64"), (480, b"\x90\x3c\x64"),
+                    (20, b"\x80\x3c\x40"), (1000, b"\xb0\x07\x64")])
+    events = read_midi(_smf([notes], fmt=0))
+    assert len(events) == 2
+    ticks_per_sec = 480 * 1e6 / 500000  # 960 ticks/s at default tempo
+    (n1, s1, d1), (n2, s2, d2) = sorted(events, key=lambda e: e[1])
+    assert abs(d1 - 480 / ticks_per_sec) < 1e-9   # closed at the retrigger
+    assert abs(d2 - 20 / ticks_per_sec) < 1e-9    # closed by the off
 
 
 def test_cli_midi_render(tmp_path, capsys):
