@@ -83,13 +83,19 @@ def _from_tiles(leaf, v, dtype):
 
 
 def make_fused_render(compiled, n: int, t_chunk: int = 256,
-                      unroll: int = 32, interpret: bool = None,
+                      unroll: int = None, interpret: bool = None,
                       auto_chunk: bool = True):
     # defaults from the (unroll, t_chunk) sweep (scripts/sweep_fused.py,
     # v5e, subtractive voice @1024 lanes): (32, 256) runs 42.9
     # cycles/sample vs 59.7 for the old (8, 512) -- deeper unroll exposes
     # more cross-sample ILP and the smaller chunk halves the VMEM streaming
     # working set; beyond 64 the gain flattens while compile time grows.
+    # Big patches inline unroll copies of a big body: past ~16 modules the
+    # deeper unroll measures neutral (sequencer: 146.3 vs 148.9 ms) while
+    # Mosaic compile time explodes (72.7 vs 10.8 s), so auto-unroll backs
+    # off to 16 there.
+    if unroll is None:
+        unroll = 32 if len(compiled.instances) <= 16 else 16
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
@@ -299,7 +305,7 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
 
 
 def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
-                             unroll: int = 32, interpret: bool = None):
+                             unroll: int = None, interpret: bool = None):
     """Buffer-feedback compat mode on the fused voice kernel.
 
     The reference's previous-*buffer* feedback timing (synth.rs:168-192)
@@ -310,6 +316,8 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
     blocks (state round-trips HBM once per block: ~KBs, negligible).
     """
     cfg = compiled.cfg
+    if unroll is None:  # same size-aware default as make_fused_render
+        unroll = 32 if len(compiled.instances) <= 16 else 16
     block = cfg.block_size
     if n % block != 0:
         raise ValueError(
