@@ -107,7 +107,9 @@ def main() -> None:
     # secondary configs (stderr only); failures must not kill the headline
     for name, patch, n, v in (
         ("sine x1024 x10s", sine_patch(cfg), 480000, 1024),
-        ("farm x16384 x1s", subtractive_voice(cfg), 48000, 16384),
+        # 2 s renders halve the transport fraction (the 1 s farm was 45%
+        # fixed dispatch+fetch); [16384, 1, 96000] f32 output = 6.3 GB HBM
+        ("farm x16384 x2s", subtractive_voice(cfg), 96000, 16384),
         # 10 s renders amortize the ~28 ms transport (the patch itself is
         # fully serial, so compute is only ~90 cycles/sample)
         ("feedback x1024 x10s", feedback_patch(cfg), 480000, 1024),

@@ -93,9 +93,9 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
     # Big patches inline unroll copies of a big body: past ~16 modules the
     # deeper unroll measures neutral (sequencer: 146.3 vs 148.9 ms) while
     # Mosaic compile time explodes (72.7 vs 10.8 s), so auto-unroll backs
-    # off to 16 there.
+    # off to 16 there.  Small patches take 64 (voice 88.2 vs 90.6 ms).
     if unroll is None:
-        unroll = 32 if len(compiled.instances) <= 16 else 16
+        unroll = 64 if len(compiled.instances) <= 16 else 16
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
@@ -317,7 +317,7 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
     """
     cfg = compiled.cfg
     if unroll is None:  # same size-aware default as make_fused_render
-        unroll = 32 if len(compiled.instances) <= 16 else 16
+        unroll = 64 if len(compiled.instances) <= 16 else 16
     block = cfg.block_size
     if n % block != 0:
         raise ValueError(
