@@ -21,7 +21,7 @@ Quick start::
 from .config import AudioConfig
 from .patch import Patch, ModuleHandle
 from .planner import plan_execution
-from .compiler import CompiledPatch, compile_patch
+from .compiler import CompiledPatch, compile_patch, migrate_state
 from .engine import (
     render,
     render_stream,
@@ -43,6 +43,7 @@ __all__ = [
     "plan_execution",
     "CompiledPatch",
     "compile_patch",
+    "migrate_state",
     "render",
     "render_stream",
     "render_batch",

@@ -464,6 +464,79 @@ class CompiledPatch:
         return fn(params, state, key, drv)
 
 
+def migrate_state(old: "CompiledPatch", new: "CompiledPatch",
+                  state: dict) -> dict:
+    """Carry a live render's state across a topology edit.
+
+    The reference rewires patches *while they play*: the UI re-plans and
+    swaps the plan under a mutex (src/ui.rs:63-82, re-plan trigger
+    ui.rs:568-570) and every module keeps its state across the swap because
+    modules are long-lived objects (src/synth/oscillator.rs:151-152 ``pos``
+    persists across calc calls).  Here a topology edit produces a new
+    ``CompiledPatch`` whose ``init_state()`` starts cold; this function is
+    the plan-swap analogue: modules present in both programs (same id, same
+    type, same statics) keep their state leaves verbatim, new modules start
+    from ``init_state``, and feedback lanes re-key (persisting wires carry,
+    new wires start silent).
+
+    Works on unbatched and batched state (the batch prefix is inferred from
+    the carried leaves and applied to fresh ones).  A changed
+    ``AudioConfig`` re-initialises everything: state dtypes/shapes are
+    config-dependent (precision, block_size).
+    """
+    import numpy as np
+
+    fresh = new.init_state()
+    if old.cfg != new.cfg:
+        carried_ids: set = set()
+    else:
+        carried_ids = {
+            mid for mid, (mdef, statics, _) in new.instances.items()
+            if mid in old.instances
+            and old.instances[mid][0] is mdef
+            and old.instances[mid][1] == statics
+            and mid in state["states"]
+        }
+
+    # infer the batch prefix by comparing one carried leaf against the
+    # unbatched init shape of the same leaf
+    prefix: tuple = ()
+    old_init = jax.eval_shape(old.init_state)
+    for mid in sorted(state["states"]):
+        if mid not in old_init["states"]:
+            continue
+        live = jax.tree.leaves(state["states"][mid])
+        base = jax.tree.leaves(old_init["states"][mid])
+        if live and base and len(live) == len(base):
+            nd = np.ndim(live[0]) - len(base[0].shape)
+            if nd > 0:
+                prefix = tuple(np.shape(live[0])[:nd])
+            break
+
+    def bcast(tree):
+        if not prefix:
+            return tree
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, prefix + a.shape), tree)
+
+    states = {
+        mid: (state["states"][mid] if mid in carried_ids
+              else bcast(fresh["states"][mid]))
+        for mid in new.instances
+    }
+    fb = {}
+    for k in new.fb_keys:
+        live = state["fb"].get(k)
+        init = fresh["fb"][k]
+        if (live is not None and old.cfg == new.cfg
+                and np.shape(live)[np.ndim(live) - init.ndim:]
+                == init.shape):
+            fb[k] = live
+        else:
+            fb[k] = bcast(init)
+    return {"states": states, "fb": fb}
+
+
 _COMPILE_CACHE: dict = {}
 
 

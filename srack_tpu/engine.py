@@ -21,7 +21,7 @@ from typing import Iterator, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from .compiler import compile_patch
+from .compiler import compile_patch, migrate_state
 from .patch import Patch
 
 
@@ -57,11 +57,24 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
 
     ``automation`` lanes are consumed block-by-block; a stream that
     outlives its lanes holds each lane's final value (like a DAW past the
-    end of an automation clip)."""
+    end of an automation clip).
+
+    **Live patching**: the stream re-reads ``patch`` every block, exactly
+    as the reference's audio callback picks up the UI thread's re-plan at
+    its next ``plan.lock()`` (src/ui.rs:63-82, src/main.rs:60).  Mutating
+    the patch between blocks -- adding/deleting modules, rewiring,
+    moving sliders -- takes effect on the next block; surviving modules
+    keep their phase/envelope/delay-line state across the swap
+    (:func:`srack_tpu.compiler.migrate_state`), matching the reference's
+    long-lived module objects (oscillator.rs:151-152).  Explicit ``params``
+    pin parameter values (topology edits still apply); with the default
+    ``params=None``, slider edits via ``patch.set_params`` go live on the
+    next block, like the reference's per-tick param reads."""
     compiled = compile_patch(patch, probes=probes,
                              automation=tuple(automation or ()))
     cfg = compiled.cfg
     block = cfg.block_size
+    pinned_params = params is not None
     if params is None:
         params = compiled.default_params
     if state is None:
@@ -83,6 +96,18 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
 
     i = 0
     while n_blocks is None or i < n_blocks:
+        if patch.topology_key() != compiled.topology_key:
+            # live topology edit: re-plan (compile cache keyed by topology)
+            # and migrate state, the reference's mutex plan swap
+            new_compiled = compile_patch(patch, probes=probes,
+                                         automation=tuple(automation or ()))
+            state = migrate_state(compiled, new_compiled, state)
+            compiled = new_compiled
+            block = compiled.cfg.block_size
+            if not pinned_params:
+                params = compiled.default_params
+        elif not pinned_params:
+            params = patch.params()  # live slider edits, no recompile
         key, sub = jax.random.split(key)
         autos_b = ({k: lane_block(v, i) for k, v in automation.items()}
                    if automation else None)

@@ -1,0 +1,202 @@
+"""Live topology editing with state continuity.
+
+The reference rewires patches while they play: any UI wiring change
+re-plans and swaps the plan under a mutex (src/ui.rs:63-82, trigger
+ui.rs:568-570), and modules keep their state across the swap because they
+are long-lived objects (src/synth/oscillator.rs:151-152 ``pos`` persists).
+These tests pin the analogue: ``render_stream`` re-reads the patch every
+block, and ``migrate_state`` carries surviving modules' state across the
+compiled-program swap.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import srack_tpu as st
+from srack_tpu.compiler import compile_patch, migrate_state
+
+CFG = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                     precision="exact")
+
+
+def test_insert_unity_gain_keeps_phase():
+    """Inserting a transparent module mid-stream must not reset the
+    oscillator: the joined audio equals an unedited render exactly."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.25)
+    p.connect(osc, "Sine", p.output, 0)
+
+    ref = st.Patch(CFG)
+    osc_r = ref.add("Oscillator", val=0.25)
+    ref.connect(osc_r, "Sine", ref.output, 0)
+    want, _, _ = st.render(ref, CFG.block_size * 4)
+
+    stream = st.render_stream(p, n_blocks=4)
+    chunks = [np.asarray(next(stream)[0]) for _ in range(2)]
+    # live edit: osc -> (x * 1.0) -> output
+    gain = p.add("Multiply", constant=1.0)
+    p.connect(osc, "Sine", gain, "In1")
+    p.connect(gain, 0, p.output, 0)
+    chunks += [np.asarray(a) for a, _, _ in stream]
+    got = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-9, rtol=0)
+
+
+def test_delete_module_keeps_surviving_state():
+    """Deleting a filter and wiring the osc straight through: the osc's
+    phase continues; the post-edit audio equals a raw-osc render started
+    from the osc's migrated state."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.0)
+    flt = p.add("Moog Filter", freq=0.3, res=0.2)
+    p.connect(osc, "Sawtooth", flt, "Audio")
+    p.connect(flt, 0, p.output, 0)
+
+    stream = st.render_stream(p, n_blocks=4)
+    for _ in range(2):
+        _, _, state_after = next(stream)
+    p.delete_module(flt)
+    p.connect(osc, "Sawtooth", p.output, 0)
+    post = [np.asarray(a) for a, _, _ in stream]
+    got = np.concatenate(post, axis=1)
+
+    # expected: fresh patch of the post-edit topology, osc state carried
+    q = st.Patch(CFG)
+    osc_q = q.add("Oscillator", val=0.0)
+    q.connect(osc_q, "Sawtooth", q.output, 0)
+    cq = compile_patch(q)
+    sq = cq.init_state()
+    sq["states"][osc_q.id] = jax.tree.map(
+        lambda a: a, state_after["states"][osc.id])
+    want, _, _ = cq.render(CFG.block_size * 2, state=sq)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-9, rtol=0)
+
+
+def test_new_module_initializes_fresh():
+    """A module added mid-stream starts from init_state (ADSR idle, edge
+    detector primed true so a high gate at swap time does not retrigger --
+    synth.rs:282-284 semantics)."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.0)
+    p.connect(osc, "Sine", p.output, 0)
+    c1 = compile_patch(p)
+    _, _, state = c1.render(CFG.block_size)
+
+    env = p.add("ADSR", a_sec=0.01, d_sec=0.01, s_val=0.5, r_sec=0.01)
+    vca = p.add("VCA")
+    p.connect(osc, "Sine", vca, "Audio")
+    p.connect(env, 0, vca, "CV")
+    p.connect(vca, 0, p.output, 0)
+    c2 = compile_patch(p)
+    migrated = migrate_state(c1, c2, state)
+    fresh = c2.init_state()
+    # osc carried verbatim
+    for k, v in state["states"][osc.id].items():
+        np.testing.assert_array_equal(
+            np.asarray(migrated["states"][osc.id][k]), np.asarray(v))
+    # ADSR fresh
+    for k, v in fresh["states"][env.id].items():
+        np.testing.assert_array_equal(
+            np.asarray(migrated["states"][env.id][k]), np.asarray(v))
+
+
+def test_feedback_rekey():
+    """Feedback lanes: persisting fb wires carry their value, new fb wires
+    start at zero."""
+    def fm_pair(patch):
+        a = patch.add("Oscillator", val=0.0)
+        b = patch.add("Oscillator", val=-1.0)
+        patch.connect(a, "Sine", b, "CV")
+        patch.connect(b, "Sine", a, "CV")   # cycle -> one broken fb edge
+        patch.connect(a, "Sine", patch.output, 0)
+        return a, b
+
+    p = st.Patch(CFG)
+    a, b = fm_pair(p)
+    c1 = compile_patch(p)
+    _, _, state = c1.render(CFG.block_size)
+    assert c1.fb_keys, "cycle must produce a feedback read"
+
+    # edit outside the cycle: add a gain tap on the output
+    g = p.add("Multiply", constant=0.5)
+    p.connect(a, "Sine", g, "In1")
+    p.connect(g, 0, p.output, 0)
+    c2 = compile_patch(p)
+    migrated = migrate_state(c1, c2, state)
+    for k in c2.fb_keys:
+        if k in state["fb"]:
+            np.testing.assert_array_equal(np.asarray(migrated["fb"][k]),
+                                          np.asarray(state["fb"][k]))
+        else:
+            assert float(jnp.sum(jnp.abs(migrated["fb"][k]))) == 0.0
+
+
+def test_migrate_batched_state():
+    """Batched (leading voice axis) state migrates: carried leaves stay,
+    fresh modules broadcast to the batch prefix."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.0)
+    p.connect(osc, "Sine", p.output, 0)
+    c1 = compile_patch(p)
+    V = 4
+    params = st.replicate_params(p.params(), V)
+    _, _, state = c1.render(CFG.block_size, params=params, batched=True)
+
+    flt = p.add("Moog Filter", freq=0.4)
+    p.connect(osc, "Sine", flt, "Audio")
+    p.connect(flt, 0, p.output, 0)
+    c2 = compile_patch(p)
+    migrated = migrate_state(c1, c2, state)
+    for leaf in jax.tree.leaves(migrated["states"][flt.id]):
+        assert np.shape(leaf)[0] == V
+    for k, v in state["states"][osc.id].items():
+        np.testing.assert_array_equal(
+            np.asarray(migrated["states"][osc.id][k]), np.asarray(v))
+    # and the migrated state renders
+    params2 = st.replicate_params(p.params(), V)
+    audio, _, _ = c2.render(CFG.block_size, params=params2, state=migrated,
+                            batched=True)
+    assert np.asarray(audio).shape[0] == V
+
+
+def test_live_slider_edit_applies_next_block():
+    """Param edits via patch.set_params take effect on the next streamed
+    block without a recompile (the reference reads params per calc)."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.0)
+    gain = p.add("Multiply", constant=1.0)
+    p.connect(osc, "Sine", gain, "In1")
+    p.connect(gain, 0, p.output, 0)
+
+    from srack_tpu.utils.debug import recompile_guard
+    stream = st.render_stream(p, n_blocks=3)
+    next(stream)  # first block compiles the program
+    p.set_params(gain, constant=1.0)  # warm set_params' tiny reshape program
+    with recompile_guard():
+        a1, _, _ = next(stream)
+        p.set_params(gain, constant=0.0)
+        a2, _, _ = next(stream)
+    assert float(np.max(np.abs(np.asarray(a1)))) > 0.1
+    np.testing.assert_allclose(np.asarray(a2), 0.0, atol=1e-12)
+
+
+def test_rewire_same_modules_keeps_state():
+    """Swapping which output port feeds the sink (Sine -> Square) keeps the
+    oscillator phase: the square picks up mid-cycle."""
+    p = st.Patch(CFG)
+    osc = p.add("Oscillator", val=0.25)
+    p.connect(osc, "Sine", p.output, 0)
+    stream = st.render_stream(p, n_blocks=2)
+    next(stream)
+    p.connect(osc, "Square", p.output, 0)
+    a2, _, _ = next(stream)
+
+    ref = st.Patch(CFG)
+    osc_r = ref.add("Oscillator", val=0.25)
+    ref.connect(osc_r, "Square", ref.output, 0)
+    cr = compile_patch(ref)
+    _, _, s1 = cr.render(CFG.block_size)  # same osc maths block 1
+    want, _, _ = cr.render(CFG.block_size, state=s1)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(want),
+                               atol=1e-9, rtol=0)
