@@ -144,6 +144,14 @@ class BlockProgram:
 
         serial = {mid for mid, (mdef, _, _) in insts.items()
                   if mdef.type_name in SERIAL_TYPES}
+        # parameter automation: modules whose block impl handles per-sample
+        # param lanes (ModuleDef.auto_block_params) stay block-capable; any
+        # other automated module joins the serial stage, where the lane
+        # streams in per sample (exact semantics)
+        autos = dict(getattr(compiled, "_auto_by_mid", {}) or {})
+        for mid, pnames in autos.items():
+            if not set(pnames) <= insts[mid][0].auto_block_params:
+                serial.add(mid)
         # feedback cycles force per-sample execution for all members
         # (buffer mode: fb edges are excluded from deps, so no cycles left)
         for comp in _sccs(list(insts), deps):
@@ -206,6 +214,17 @@ class BlockProgram:
             insts[mid][0].type_name in PALLAS_SAFE for mid in self.stage_plan
         ) and not self.cfg.exact
 
+        # automation lane routing: stage modules consume their lanes per
+        # sample; block-phase modules get params overlaid with [n] lanes
+        self.stage_autos = tuple(
+            (mid, p) for mid in self.stage_plan for p in autos.get(mid, ()))
+        self._stage_autos_by_mid = {
+            mid: tuple(ps) for mid, ps in autos.items()
+            if mid in self.stage_set}
+        self._block_autos = {
+            mid: tuple(ps) for mid, ps in autos.items()
+            if mid not in self.stage_set}
+
     # -- block phases --------------------------------------------------------
 
     def _run_block_phase(self, plan_subset, params, states, values, xs, n,
@@ -227,13 +246,21 @@ class BlockProgram:
                     else values[c])
                    for c in inputs]
             x = xs.get(mid)
+            pd = params[mid]
+            auto = self._block_autos.get(mid)
+            if auto:
+                # per-sample automation lanes overlay the static params
+                # (the module's block impl / stateless step handles the
+                # [n] shape -- gated by ModuleDef.auto_block_params)
+                pd = {**pd, **{p: xs[self.compiled._auto_key(mid, p)][:n]
+                               for p in auto}}
             with jax.named_scope(f"{mdef.type_name}:{mid}"):
                 if mdef.block is not None:
                     new_state, outs = mdef.block(
-                        cfg, statics, params[mid], states[mid], ins, x, n)
+                        cfg, statics, pd, states[mid], ins, x, n)
                 else:
                     new_state, outs = (mdef.step_nograd or mdef.step)(
-                        cfg, statics, params[mid], states[mid], ins, x)
+                        cfg, statics, pd, states[mid], ins, x)
                     outs = tuple(jnp.broadcast_to(o, (n,)).astype(o.dtype)
                                  for o in outs)
             new_states[mid] = new_state
@@ -266,11 +293,16 @@ class BlockProgram:
                     ins.append(fb[c])
                 else:
                     ins.append(values[c])
+            pd = params[mid]
+            auto = self._stage_autos_by_mid.get(mid)
+            if auto:
+                # this sample's automation lane values overlay the params
+                pd = {**pd, **{p: values[("auto", mid, p)] for p in auto}}
             # the block engine is never differentiated (grad_render_fn
             # routes to fused_vjp or scan), so gradient-only step ops are
             # elided (bit-identical primal; ModuleDef.step_nograd)
             new_state, outs = (mdef.step_nograd or mdef.step)(
-                cfg, statics, params[mid], states[mid], ins, None)
+                cfg, statics, pd, states[mid], ins, None)
             new_states[mid] = new_state
             for p, o in enumerate(outs):
                 values[(mid, p)] = o
@@ -291,7 +323,8 @@ class BlockProgram:
         if t_chunk is None:
             # size the kernel's streamed-wire chunks so double-buffered
             # in/out lanes fit comfortably in 16 MB VMEM
-            n_streams = max(1, len(self.stage_in) + len(self.stage_out))
+            n_streams = max(1, len(self.stage_in) + len(self.stage_out)
+                            + len(self.stage_autos))
             budget = 10 * 1024 * 1024
             per_t = n_streams * serial_kernel.TILE_VOICES * 4 * 2
             t_chunk = max(64, min(512, (budget // per_t) // 8 * 8))
@@ -344,6 +377,9 @@ class BlockProgram:
                 return f"{w[0]}#{w[1]}"
 
             def eval_key(s):
+                if s.startswith("auto:"):
+                    mid, p = s[5:].rsplit("~", 1)
+                    return ("auto", mid, p)
                 mid, port = s.rsplit("#", 1)
                 return (mid, int(port))
 
@@ -386,6 +422,9 @@ class BlockProgram:
             stage_states = {m: states[m] for m in self.stage_plan}
             stage_state = {"states": stage_states, "fb": fb}
             ins_lanes = {wire_key(w): wires[w] for w in self.stage_in}
+            for (mid_a, p_a) in self.stage_autos:
+                ins_lanes[f"auto:{mid_a}~{p_a}"] = (
+                    xs[compiled._auto_key(mid_a, p_a)])
 
             if use_pallas:
                 kern = serial_kernel.make_serial_kernel(
@@ -465,6 +504,9 @@ class BlockProgram:
             return f"{w[0]}#{w[1]}"
 
         def eval_key(s):
+            if s.startswith("auto:"):
+                mid, p = s[5:].rsplit("~", 1)
+                return ("auto", mid, p)
             fbp = s.startswith("fb:")
             if fbp:
                 s = s[3:]
@@ -515,6 +557,9 @@ class BlockProgram:
                              for w in self.stage_in}
                 ins_lanes.update({wire_key(("fb",) + k): fb[k]
                                   for k in self.stage_fb_in})
+                for (mid_a, p_a) in self.stage_autos:
+                    ins_lanes[f"auto:{mid_a}~{p_a}"] = (
+                        xs_b[compiled._auto_key(mid_a, p_a)])
                 if use_pallas:
                     out_lanes, stage_final = kern(
                         stage_params, stage_state, ins_lanes)
@@ -587,10 +632,11 @@ class BlockProgram:
 
 
 def eligible(compiled) -> bool:
-    """The block engine handles every patch the scan engine does, probes
-    and buffer-feedback compat mode included (buffer mode runs an outer
-    scan over blocks; fb edges read the previous block's lanes, exactly
-    the reference's previous-buffer timing, synth.rs:168-192).  Parameter
-    automation is the exception: whole-block module impls assume constant
-    params, so automated patches run on the scan/fused engines."""
-    return not getattr(compiled, "automation", ())
+    """The block engine handles every patch the scan engine does: probes,
+    buffer-feedback compat mode (outer scan over blocks; fb edges read the
+    previous block's lanes, exactly the reference's previous-buffer timing,
+    synth.rs:168-192), and parameter automation (stage modules stream
+    lanes per sample -- exact; block-phase modules either handle [n]-lane
+    params natively, ModuleDef.auto_block_params, or are pulled into the
+    serial stage)."""
+    return True

@@ -91,8 +91,9 @@ class CompiledPatch:
         # sliders are static between UI events, ui.rs:243+; this is the
         # engine-level "parameter automation" a DAW layers on top).  The
         # overlay happens in _sample_step, so the scan and fused engines get
-        # exact per-sample semantics; the block engine declines (its
-        # whole-block module impls assume constant params).
+        # exact per-sample semantics; the block engine streams lanes into
+        # its serial stage (exact) or overlays [n]-lane params on block
+        # impls that declare support (ModuleDef.auto_block_params).
         autos = []
         for module, pname in automation:
             mid = module.id if isinstance(module, ModuleHandle) else module

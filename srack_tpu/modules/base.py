@@ -83,6 +83,13 @@ class ModuleDef:
     # cannot fold float ``x - stop_grad(x)`` to 0).  Differentiable paths
     # (scan autodiff, ops/fused_vjp.py) always use ``step``.
     step_nograd: Optional[Callable[..., tuple]] = None
+    # Param names whose per-sample automation the *block engine* can run
+    # without forcing the module into the serial stage: either the module
+    # is stateless (step broadcasts [n]-shaped params elementwise) or its
+    # ``block`` impl explicitly handles per-sample param lanes.  Automated
+    # params NOT listed here push the module into the serial stage (exact
+    # per-sample semantics at serial-stage speed).
+    auto_block_params: frozenset = frozenset()
 
     def port_index(self, cfg: AudioConfig, statics: Statics, port, *, output: bool) -> int:
         """Resolve a port given by index or label to an index."""

@@ -178,6 +178,17 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     l_in = lane(ins[0])
     r_in = lane(ins[1])
     damp, feed, in_gain, wet1, wet2, dry = freeverb_gains(params, dt)
+    # block-engine automation: gain params may arrive as per-sample [n]
+    # lanes.  wet1/wet2/dry apply at the output mix -- moved outside the
+    # chunk loop, so they are *exact per sample*.  damp/feed drive the
+    # comb recurrences, whose chunk-parallel solve needs them constant
+    # within a chunk: they are snapshotted at each chunk START (the same
+    # piecewise-constant approximation a block-based host applies when the
+    # reference reads sliders once per buffer, freeverb.rs:208-214).
+    fb_varies = jnp.ndim(damp) > 0 or jnp.ndim(feed) > 0
+    if fb_varies:
+        damp = jnp.broadcast_to(damp, (n,)).astype(dt)
+        feed = jnp.broadcast_to(feed, (n,)).astype(dt)
 
     line_keys = ([f"cl{i}" for i in range(len(cl))]
                  + [f"cr{i}" for i in range(len(cr))]
@@ -195,18 +206,20 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
     def make_body(csize):
         """One chunk of ``csize <= chunk`` samples (every delay-line read
-        within it predates the chunk, so it vectorises).
+        within it predates the chunk, so it vectorises).  Returns the RAW
+        reverb outputs; the wet/dry mix happens once over the whole render
+        (exact per-sample, including automated wet/width/dry lanes).
 
         (Measured dead end: stacking all 16 comb recurrences into one
         [16, csize] batched solve per chunk -- the stack/broadcast
         materialization cost more than the 16 separate solves, 181 ->
         223 ms at farm scale, and compile time blew up 10x.)"""
 
-        def comb_chunk(h, fs0, mixed):
+        def comb_chunk(h, fs0, mixed, dmp, fd):
             y = h[:csize]
-            A, Y = linear_recurrence(damp, y * (1.0 - damp))
+            A, Y = linear_recurrence(dmp, y * (1.0 - dmp))
             fs_t = A * fs0 + Y
-            w = mixed + fs_t * feed
+            w = mixed + fs_t * fd
             return jnp.concatenate([h[csize:], w]), fs_t[-1], y
 
         def allpass_piece(h, x, m):
@@ -217,7 +230,11 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
 
         def body(carry, xch):
             hists, fss = carry
-            lc, rc = xch
+            if fb_varies:
+                lc, rc, dmp, fd = xch
+            else:
+                lc, rc = xch
+                dmp, fd = damp, feed
             mixed = (lc + rc) * in_gain
             hists = dict(hists)
             fss = dict(fss)
@@ -226,7 +243,8 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             for ch in "lr":
                 for i in range(len(cl)):
                     k = f"c{ch}{i}"
-                    hists[k], fss[k], y = comb_chunk(hists[k], fss[k], mixed)
+                    hists[k], fss[k], y = comb_chunk(
+                        hists[k], fss[k], mixed, dmp, fd)
                     out[ch] = out[ch] + y
                 # allpasses: sub-pieces no longer than the shortest line
                 pieces = []
@@ -240,11 +258,7 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
                     pieces.append(x_piece)
                 out[ch] = (pieces[0] if len(pieces) == 1
                            else jnp.concatenate(pieces))
-            fl = (out["l"] * wet1 + out["r"] * wet2
-                  + lc * dry).astype(CV_DTYPE)
-            fr = (out["r"] * wet1 + out["l"] * wet2
-                  + rc * dry).astype(CV_DTYPE)
-            return (hists, fss), (fl, fr)
+            return (hists, fss), (out["l"], out["r"])
 
         return body
 
@@ -255,7 +269,7 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     # lines VMEM-resident for the full chunks (ops/freeverb_kernel.py);
     # the tail (< one chunk) chains through the XLA body below.
     n_full = 0
-    use_kernel = (dt == jnp.float32 and chunk >= 128
+    use_kernel = (dt == jnp.float32 and chunk >= 128 and not fb_varies
                   and jax.default_backend() == "tpu")
     if use_kernel:
         from ..ops import freeverb_kernel as fvk
@@ -273,10 +287,8 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         outs = fn(mixed_full, jnp.stack([fs[k] for k in fs_keys]),
                   damp, feed, *[hist[k] for k in comb_keys + ap_keys])
         out_l, out_r, fs_f = outs[0], outs[1], outs[2]
-        pieces_l.append((out_l * wet1 + out_r * wet2
-                         + l_in[:n_full] * dry).astype(CV_DTYPE))
-        pieces_r.append((out_r * wet1 + out_l * wet2
-                         + r_in[:n_full] * dry).astype(CV_DTYPE))
+        pieces_l.append(out_l)
+        pieces_r.append(out_r)
         hist = dict(hist)
         fs = dict(fs)
         for k, h_new in zip(comb_keys + ap_keys, outs[3:]):
@@ -292,14 +304,20 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     if full:
         xs_chunks = (l_rest[:full * chunk].reshape(full, chunk),
                      r_rest[:full * chunk].reshape(full, chunk))
+        if fb_varies:
+            # damp/feed snapshot at each chunk start (piecewise-constant)
+            offs = n_full + jnp.arange(full) * chunk
+            xs_chunks = xs_chunks + (damp[offs], feed[offs])
         carry, (fl, fr) = jax.lax.scan(make_body(chunk), carry, xs_chunks)
         pieces_l.append(fl.reshape(-1))
         pieces_r.append(fr.reshape(-1))
     if rem:
         # partial tail chunk: consume exactly ``rem`` samples so carried
         # state stays sample-accurate for continued renders
-        carry, (fl, fr) = make_body(rem)(
-            carry, (l_rest[full * chunk:], r_rest[full * chunk:]))
+        xs_tail = (l_rest[full * chunk:], r_rest[full * chunk:])
+        if fb_varies:
+            xs_tail = xs_tail + (damp[n - rem], feed[n - rem])
+        carry, (fl, fr) = make_body(rem)(carry, xs_tail)
         pieces_l.append(fl)
         pieces_r.append(fr)
     hists_f, fss_f = carry
@@ -311,8 +329,12 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     for ch in "lr":
         for i in range(len(cl)):
             new_state[f"c{ch}{i}_fs"] = fss_f[f"c{ch}{i}"]
-    out_l = pieces_l[0] if len(pieces_l) == 1 else jnp.concatenate(pieces_l)
-    out_r = pieces_r[0] if len(pieces_r) == 1 else jnp.concatenate(pieces_r)
+    raw_l = pieces_l[0] if len(pieces_l) == 1 else jnp.concatenate(pieces_l)
+    raw_r = pieces_r[0] if len(pieces_r) == 1 else jnp.concatenate(pieces_r)
+    # wet/dry mix over the whole render: exact per-sample semantics for
+    # (possibly automated) wet/width/dry lanes
+    out_l = (raw_l * wet1 + raw_r * wet2 + l_in * dry).astype(CV_DTYPE)
+    out_r = (raw_r * wet1 + raw_l * wet2 + r_in * dry).astype(CV_DTYPE)
     return new_state, (out_l, out_r)
 
 
@@ -329,4 +351,9 @@ FREEVERB = ModuleDef(
     init_state=_init_state,
     step=_step,
     block=_block,
+    # wet/width/dry automate exactly (output-mix lanes); dampening and
+    # room_size automate piecewise-constant per chunk (snapshotted at each
+    # chunk start -- the comb solve needs in-chunk-constant coefficients)
+    auto_block_params=frozenset(
+        {"dampening", "wet", "width", "room_size", "dry"}),
 )

@@ -62,6 +62,9 @@ def math_module_def(op: str) -> ModuleDef:
         output_labels=_outlabels1,
         init_state=_math_init_state,
         step=_math_step,
+        # stateless elementwise: [n]-shaped automated constants broadcast
+        # straight through the step in the block engine's phases
+        auto_block_params=frozenset({"constant"}),
     )
 
 
@@ -102,4 +105,5 @@ NON_LINEAR = ModuleDef(
     output_labels=_outlabels1,
     init_state=_math_init_state,
     step=_nl_step,
+    auto_block_params=frozenset({"constant"}),
 )

@@ -196,19 +196,25 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     lane = state["pos"].shape  # () on the host path, (8, 128) in-kernel
     full = (n,) + lane
     tidx = t_index(n, lane)
+    # automated ``val`` arrives as a per-sample [n] lane (block-engine
+    # automation): the rate varies, so the constant-rate closed form below
+    # is wrong -- take the prefix-sum path instead
+    val_varies = jnp.ndim(params["val"]) > len(lane)
+    const_rate = cv_in is None and not val_varies
 
     if cfg.exact:
-        if cv_in is None and "delta" in params:
+        if cv_in is None and not val_varies and "delta" in params:
             delta = params["delta"]
         else:
             val = params["val"].astype(jnp.float64)
             octs = val if cv_in is None else cv_in.astype(jnp.float64) + val
             delta = 440.0 * jnp.exp2(octs) / cfg.sample_rate
-        if cv_in is None:
+        if const_rate:
             # constant rate (LFOs, clocks): closed form, no prefix sum
             excl = delta * tidx
             incl = delta * (tidx + 1.0)
         else:
+            delta = jnp.broadcast_to(delta, full)
             incl = fast_cumsum(delta, axis=0)
             excl = incl - delta
         delta = jnp.broadcast_to(delta, full)
@@ -226,17 +232,18 @@ def _osc_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         pos_f = jnp.mod(pos_acc, 1.0)
         next_pos = jnp.mod(next_pos, 1.0)
     else:
-        if cv_in is None and "dfix" in params:
+        if cv_in is None and not val_varies and "dfix" in params:
             delta_f, dfix = params["delta"], params["dfix"]
         else:
             octs = params["val"] if cv_in is None else cv_in + params["val"]
             delta_f = (fast_exp2(octs)
                        * (440.0 / cfg.sample_rate)).astype(CV_DTYPE)
             dfix = delta_to_fixed(delta_f)
-        if cv_in is None:
+        if const_rate:
             excl = dfix * tidx  # int32 multiply wraps exactly mod 2^32
             incl = excl + dfix
         else:
+            dfix = jnp.broadcast_to(dfix, full)
             incl = fast_cumsum(dfix, axis=0)  # int32 adds wrap mod 2^32
             excl = incl - dfix
         delta_f = jnp.broadcast_to(delta_f, full)
@@ -303,6 +310,9 @@ OSCILLATOR = ModuleDef(
     step_nograd=_osc_step_nograd,
     block=_osc_block,
     derive=_osc_derive,
+    # per-sample pitch automation: the block impl switches to the
+    # prefix-sum phase path when ``val`` arrives as an [n] lane
+    auto_block_params=frozenset({"val"}),
 )
 
 
