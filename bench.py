@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 import srack_tpu as st
 from srack_tpu.presets import (drum_machine, farm_params, feedback_patch,
-                               reverb_patch, sequencer_patch, sine_patch,
-                               subtractive_voice)
+                               reverb_patch, sampler_kit, sequencer_patch,
+                               sine_patch, subtractive_voice)
 
 BASELINE_SAMPLES_PER_SEC = 4.8e9
 
@@ -118,6 +118,11 @@ def main() -> None:
         ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
         # sample playback keeps this on the block engine (waveform reads)
         ("drums x1024 (block engine)", drum_machine(cfg), 48000, 1024),
+        # real-length samples: three 48,000-frame waveforms through the
+        # windowed dynamic-gather kernel (ops/sample_gather); 2 s render
+        # halves the transport fraction
+        ("sampler x1024 x2s (48k-frame samples)", sampler_kit(cfg),
+         96000, 1024),
         # Freeverb's 12 delay lines per channel, chunk-parallel block impl
         ("reverb x1024 (block engine)", reverb_patch(cfg), 48000, 1024),
     ):

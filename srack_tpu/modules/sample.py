@@ -24,10 +24,12 @@ from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
                          forward_fill, table_lookup, transition,
                          transition_init)
 
-# Waveform reads in the block path go through ops/basic.table_lookup (on
-# TPU: the VMEM-resident Pallas select-chain kernel, ops/scan_kernel) up to
-# this many frames; the chain is O(K) vector ops per sample, so past the
-# cap the XLA gather (~50 M scalar loads/s) wins back.
+# Waveform reads in the block path: the windowed dynamic-gather kernel
+# (ops/sample_gather) handles tables of any length the per-row VMEM budget
+# admits (~3 M frames) at >1 G samples/s; the select-chain kernel
+# (ops/scan_kernel, O(K) vector ops) covers short renders and small
+# tables; the XLA gather (~50 M scalar loads/s) is the last resort.
+from ..ops import sample_gather
 from ..ops.scan_kernel import GATHER_MAX_K as SELECT_CHAIN_MAX
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
@@ -117,7 +119,9 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     crossed = s >= length_f  # monotone within a segment (rate > 0)
 
     idx = jnp.clip(s.astype(jnp.int32), 0, max_len - 1)
-    if max_len <= SELECT_CHAIN_MAX:
+    if sample_gather.eligible(params["samples"], idx):
+        read = sample_gather.gather_1d(params["samples"], idx)
+    elif max_len <= SELECT_CHAIN_MAX:
         read = table_lookup(params["samples"], idx)
     else:
         read = params["samples"][idx]

@@ -268,6 +268,47 @@ def drum_machine(cfg: AudioConfig | None = None) -> Patch:
     return p
 
 
+def sampler_kit(cfg: AudioConfig | None = None) -> Patch:
+    """Drum kit from REAL-LENGTH samples: every hit is a Sample module
+    playing a full-second (sample_rate-frame) waveform at pitch CV 0
+    (rate 1.0, sample.rs:233-234 law).  This is the sample-playback
+    workload the synthesized 400-frame hat of :func:`drum_machine`
+    sidesteps -- table reads hit the windowed dynamic-gather kernel
+    (ops/sample_gather) instead of the small-table select chain.
+    """
+    cfg = cfg or AudioConfig()
+    sr = cfg.sample_rate
+    p = Patch(cfg)
+    clk = p.add("Oscillator", val=-4.5, name="clock")
+    pat = p.add("Pattern Sequencer", n_steps=16, name="pat",
+                pattern=[
+                    [True, None, None, None] * 4,            # kick
+                    [None, None, True, None] * 4,            # snare
+                    [True, True, False, True] * 4,           # hats
+                ])
+    p.connect(clk, "Square", pat, "Step")
+
+    t = np.arange(sr, dtype=np.float64) / sr                 # 1 s of frames
+    rng = np.random.default_rng(7)
+    kick_wave = (np.sin(2 * np.pi * (45.0 + 85.0 * np.exp(-18.0 * t)) * t)
+                 * np.exp(-6.0 * t)).astype(np.float32)
+    snare_wave = (rng.uniform(-1.0, 1.0, sr)
+                  * np.exp(-22.0 * t)).astype(np.float32)
+    hat_wave = (rng.uniform(-1.0, 1.0, sr) * np.exp(-55.0 * t)
+                * np.sin(2 * np.pi * 5900.0 * t)).astype(np.float32)
+
+    mix = p.add("Mono Mixer", gains=(0.5, 0.3, 0.2, 0.0), name="mix")
+    for row, (name, wave) in enumerate(
+            (("kick", kick_wave), ("snare", snare_wave), ("hat", hat_wave))):
+        smp = p.add("Sample", samples=wave, wav_sample_rate=sr, name=name)
+        p.connect(pat, str(row), smp, "Gate")
+        p.connect(smp, 0, mix, row)
+    p.connect(mix, 0, p.output, 0)
+    if cfg.channels > 1:
+        p.connect(mix, 0, p.output, 1)
+    return p
+
+
 PRESETS = {
     "sine": sine_patch,
     "subtractive": subtractive_voice,
@@ -275,4 +316,5 @@ PRESETS = {
     "feedback": feedback_patch,
     "reverb": reverb_patch,
     "drums": drum_machine,
+    "sampler": sampler_kit,
 }
