@@ -63,6 +63,47 @@ def open_sink(kind, cfg, path="stream_out.wav"):
     return ("null", None)
 
 
+def paced_consume(stream, block_s, on_block=None, n_prime=2):
+    """The DAC-paced consumer loop (the cpal-callback replacement,
+    src/main.rs:59-90): pull blocks just-in-time against wall-clock
+    deadlines of ``block_s`` seconds, counting late blocks as underruns.
+
+    ``on_block(block)`` receives each numpy block (including the
+    ``n_prime`` warm-up blocks pulled before timing starts -- compiles
+    happen there, as the reference builds its plan before streaming).
+    Returns ``(underruns, worst_headroom, blocks_timed)``.  Imported by
+    tests/test_streaming.py so the shipped pacing logic IS the tested
+    logic.
+    """
+    for _ in range(n_prime):
+        audio = np.asarray(next(stream)[0])
+        if on_block is not None:
+            on_block(audio)
+    underruns = 0
+    worst_headroom = block_s
+    timed = 0
+    t0 = time.perf_counter()
+    deadline = t0
+    for audio, _, _ in stream:
+        block = np.asarray(audio)
+        now = time.perf_counter()
+        headroom = (deadline + block_s) - now
+        worst_headroom = min(worst_headroom, headroom)
+        if headroom < 0:
+            underruns += 1
+            deadline = now          # resync after a glitch, like a DAC
+        else:
+            deadline += block_s
+        # pace like a DAC: do not run ahead of real time
+        ahead = deadline - time.perf_counter()
+        if ahead > 0:
+            time.sleep(ahead)
+        timed += 1
+        if on_block is not None:
+            on_block(block)
+    return underruns, worst_headroom, timed
+
+
 def main(argv):
     name = argv[1] if len(argv) > 1 else "sequencer"
     seconds = float(argv[2]) if len(argv) > 2 else 10.0
@@ -78,32 +119,19 @@ def main(argv):
     stream = st.render_stream(patch, n_blocks=n_blocks)
     kind, sink = open_sink(sink_kind, cfg)
 
-    # prime: the first pull compiles, the second retraces once with the
-    # threaded state (the reference likewise builds its plan before the
-    # stream starts); real-time accounting begins at steady state
-    blocks = [np.asarray(next(stream)[0]), np.asarray(next(stream)[0])]
-    underruns = 0
-    worst_headroom = block_s
-    t0 = time.perf_counter()
-    deadline = t0
-    for i, (audio, _, _) in enumerate(stream, start=2):
-        block = np.asarray(audio)
-        now = time.perf_counter()
-        headroom = (deadline + block_s) - now
-        worst_headroom = min(worst_headroom, headroom)
-        if headroom < 0:
-            underruns += 1
-            deadline = now          # resync after a glitch, like a DAC
-        else:
-            deadline += block_s
-        # pace like a DAC: do not run ahead of real time
-        ahead = deadline - time.perf_counter()
-        if ahead > 0:
-            time.sleep(ahead)
+    blocks = []
+
+    def on_block(block):
         if kind == "device":
             sink.write(np.ascontiguousarray(block.T))
         elif kind == "wav":
             blocks.append(block)
+
+    t0 = time.perf_counter()
+    # prime pulls compile before timing starts (the reference likewise
+    # builds its plan before the stream starts)
+    underruns, worst_headroom, _ = paced_consume(
+        stream, block_s, on_block=on_block)
 
     wall = time.perf_counter() - t0
     print(f"streamed {n_blocks * block_s:.1f} s of '{name}' "

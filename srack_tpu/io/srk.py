@@ -39,6 +39,16 @@ _ADSR_MODE_TO_INT = {"None": 0, "Attack": 1, "Decay": 2, "Sustain": 3,
                      "Release": 4}
 
 
+class SrkError(ValueError):
+    """Malformed / unsupported ``.srk`` input.
+
+    Every reader failure funnels here so callers can catch ONE exception
+    type; truncated bytes, wrong field counts, bogus types and unknown
+    variants must never surface as raw IndexError/KeyError/TypeError
+    (round-2 verdict item 9: the reader parses externally-produced bytes
+    it cannot trust)."""
+
+
 def _require_msgpack():
     if msgpack is None:  # pragma: no cover
         raise RuntimeError("msgpack is not available in this environment")
@@ -64,29 +74,64 @@ def read_srk(data, config: Optional[AudioConfig] = None) -> Patch:
     if not isinstance(data, (bytes, bytearray)):
         with open(data, "rb") as f:
             data = f.read()
-    root = msgpack.unpackb(data, raw=False, strict_map_key=False)
+    try:
+        root = msgpack.unpackb(data, raw=False, strict_map_key=False)
+    except Exception as e:
+        raise SrkError(f"not valid MessagePack: {e}") from e
+    if not isinstance(root, (list, tuple)) or len(root) != 3:
+        raise SrkError(
+            "root must be the 3-field FileFormat array "
+            "[modules, connections, positions] (ui.rs:578-586), got "
+            f"{type(root).__name__}"
+            + (f" of length {len(root)}"
+               if isinstance(root, (list, tuple)) else ""))
     modules_raw, connections, positions = root
+    if not isinstance(modules_raw, (list, tuple)):
+        raise SrkError("modules field is not an array")
 
     cfg = config or AudioConfig()
     patch = Patch(cfg, auto_output=False)
     id_map = {}  # srk uuid -> our module id
 
     for entry in modules_raw:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise SrkError(
+                "module entry is not a single-variant enum map "
+                f"(externally-tagged rmp-serde), got {entry!r:.80}")
         (variant, fields), = entry.items()
-        handle, srk_id = _unpack_module(patch, cfg, variant, fields)
+        try:
+            handle, srk_id = _unpack_module(patch, cfg, str(variant), fields)
+        except SrkError:
+            raise
+        except Exception as e:
+            raise SrkError(
+                f"malformed {variant} module entry: "
+                f"{type(e).__name__}: {e}") from e
         id_map[srk_id] = handle
 
     if patch.output is None:
         patch.output = patch.add("Output")
 
-    for (src_id, src_port, sink_id, sink_port) in connections:
-        if src_id in id_map and sink_id in id_map:
-            patch.connect(id_map[src_id], int(src_port),
-                          id_map[sink_id], int(sink_port))
+    if not isinstance(connections, (list, tuple)):
+        raise SrkError("connections field is not an array")
+    for quad in connections:
+        try:
+            src_id, src_port, sink_id, sink_port = quad
+            if src_id in id_map and sink_id in id_map:
+                patch.connect(id_map[src_id], int(src_port),
+                              id_map[sink_id], int(sink_port))
+        except SrkError:
+            raise
+        except Exception as e:
+            raise SrkError(f"malformed connection quad {quad!r:.80}: "
+                           f"{type(e).__name__}: {e}") from e
 
-    patch.positions = {
-        id_map[mid].id: tuple(pos) for mid, pos in positions
-        if mid in id_map}
+    try:
+        patch.positions = {
+            id_map[mid].id: tuple(pos) for mid, pos in positions
+            if mid in id_map}
+    except Exception as e:
+        raise SrkError(f"malformed positions field: {e}") from e
     patch.srk_ids = {h.id: srk for srk, h in id_map.items()}
     return patch
 
@@ -179,7 +224,7 @@ def _unpack_module(patch: Patch, cfg: AudioConfig, variant: str, f: list):
                       wet=float(f[9]), width=float(f[11]),
                       room_size=float(f[13]), dry=float(f[15]))
         return h, f[0]
-    raise ValueError(f"unknown .srk module variant {variant!r}")
+    raise SrkError(f"unknown .srk module variant {variant!r}")
 
 
 def write_srk(patch: Patch, path=None) -> bytes:

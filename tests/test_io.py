@@ -188,3 +188,128 @@ def test_srk_ground_truth_fixture():
     # the parsed patch renders
     audio, _, _ = st.render(p, 64, engine="scan")
     assert np.isfinite(np.asarray(audio)).all()
+
+
+# ---------------------------------------------------------------------------
+# .srk fuzzing (round-2 verdict item 9): randomized round-trips + malformed
+# input rejection.  The reader consumes externally-produced bytes it cannot
+# trust; every failure must surface as SrkError (a ValueError), never a raw
+# IndexError/KeyError/TypeError crash.
+# ---------------------------------------------------------------------------
+
+from srack_tpu.io.srk import SrkError, write_srk  # noqa: E402
+
+
+def _random_patch(rng):
+    """A randomized patch exercising every serializable variant with
+    non-default parameter values and random wiring."""
+    cfg = st.AudioConfig(sample_rate=int(rng.choice([44100, 48000])),
+                         block_size=64, channels=2)
+    p = st.Patch(cfg)
+    mods = [p.output]
+    u = lambda a, b: float(rng.uniform(a, b))
+    seq = [None if rng.random() < 0.3 else
+           (int(rng.integers(0, 48)), bool(rng.random() < 0.5))
+           for _ in range(int(rng.integers(2, 17)))]
+    pat = [[(None if rng.random() < 0.5 else bool(rng.random() < 0.5))
+            for _ in range(8)] for _ in range(int(rng.integers(1, 9)))]
+    adds = [
+        ("Oscillator", dict(val=u(-9, 6), antialiasing=bool(rng.random() < 0.5))),
+        ("Noise", {}),
+        ("Moog Filter", dict(freq=u(0, 1), res=u(0, 1), exp_amt=u(2**-8, 1))),
+        ("ADSR", dict(a_sec=u(0, 1), d_sec=u(0, 1), s_val=u(0, 1), r_sec=u(0, 1))),
+        ("VCA", dict(negative=bool(rng.random() < 0.5))),
+        ("Mono Mixer", dict(gains=tuple(u(0, 2) for _ in range(4)))),
+        ("Add", dict(constant=u(-2, 2))),
+        ("Subtract", dict(constant=u(-2, 2))),
+        ("Multiply", dict(constant=u(-2, 2))),
+        ("Non-Linear", dict(constant=u(0.5, 2))),
+        ("Grid Sequencer", dict(sequence=seq, n_steps=len(seq),
+                                octaves=int(rng.integers(1, 5)),
+                                steps_per_octave=12)),
+        ("Pattern Sequencer", dict(pattern=pat, n_steps=8)),
+        ("Sample", dict(samples=rng.normal(size=int(rng.integers(1, 200)))
+                        .astype(np.float32),
+                        wav_sample_rate=float(rng.choice([22050, 44100])))),
+        ("Freeverb", dict(dampening=u(0, 2), freeze=bool(rng.random() < 0.2),
+                          wet=u(0, 1), width=u(0, 1), room_size=u(0, 1),
+                          dry=u(0, 1))),
+    ]
+    rng.shuffle(adds)
+    for name, kwargs in adds:
+        if rng.random() < 0.8:
+            mods.append(p.add(name, **kwargs))
+    # random legal wiring
+    for sink in mods:
+        inst = p[sink]
+        n_in = len(inst.inputs)
+        for port in range(n_in):
+            if rng.random() < 0.5 and len(mods) > 1:
+                src = mods[int(rng.integers(0, len(mods)))]
+                n_out = p[src].mdef.num_outputs(cfg, p[src].statics)
+                if n_out and src.id != sink.id:
+                    p.connect(src, int(rng.integers(0, n_out)), sink, port)
+    return p
+
+
+def test_srk_fuzz_roundtrip():
+    """write -> read -> write must be byte-stable and preserve params,
+    wiring and statics over randomized patches (20 seeds)."""
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        p = _random_patch(rng)
+        data = write_srk(p)
+        q = read_srk(data, config=p.config)
+        data2 = write_srk(q)
+        assert data2 == data, f"seed {seed}: second write differs"
+        # params survive (by type multiset; ids are regenerated)
+        def sig(patch):
+            out = []
+            for inst in patch:
+                ps = {k: np.asarray(v).tolist() for k, v in inst.params.items()}
+                out.append((inst.mdef.type_name, sorted(ps.items(), key=str)))
+            return sorted(out, key=str)
+        assert sig(q) == sig(p), f"seed {seed}: params drifted"
+        assert len(q.connections()) == len(p.connections()), f"seed {seed}"
+
+
+def test_srk_truncated_bytes_rejected():
+    p = _random_patch(np.random.default_rng(1))
+    data = write_srk(p)
+    for cut in range(1, len(data), max(1, len(data) // 40)):
+        try:
+            read_srk(data[:cut], config=p.config)
+        except (SrkError, ValueError):
+            pass  # graceful rejection (or, rarely, a valid prefix parse)
+
+
+def test_srk_bitflips_never_crash_ungracefully():
+    p = _random_patch(np.random.default_rng(2))
+    data = bytearray(write_srk(p))
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        mutated = bytearray(data)
+        i = int(rng.integers(0, len(mutated)))
+        mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            read_srk(bytes(mutated), config=p.config)
+        except (SrkError, ValueError):
+            pass  # anything else (IndexError/KeyError/TypeError) fails
+
+
+def test_srk_malformed_structures_rejected():
+    import msgpack
+    cases = [
+        msgpack.packb("hello"),                      # wrong root type
+        msgpack.packb([[], []]),                     # wrong root arity
+        msgpack.packb([[{"NopeModuleV9": ["x"]}], [], []]),   # unknown variant
+        msgpack.packb([[{"OscillatorModuleV0": ["id"]}], [], []]),  # short fields
+        msgpack.packb([[{"a": 1, "b": 2}], [], []]),  # multi-key enum map
+        msgpack.packb([["notamap"], [], []]),         # module entry not a map
+        msgpack.packb([[], [["a", 0, "b"]], []]),     # 3-tuple connection
+        msgpack.packb([[], [], "positions?"]),        # positions wrong type
+        msgpack.packb([[{"ADSRModuleV0": ["id", "NaNstr", 0, 0, 0]}], [], []]),
+    ]
+    for i, data in enumerate(cases):
+        with pytest.raises((SrkError, ValueError)):
+            read_srk(data)
