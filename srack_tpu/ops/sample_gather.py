@@ -41,7 +41,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RB = 8           # voice rows per tile (gather ops are [8, 128] = 1 vreg)
 LANES = 128
 T_CH = 2048      # time lanes per grid step
 NBLK = T_CH // LANES
@@ -56,21 +55,32 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_rb(k: int) -> int:
+    """Rows per tile: more rows amortize per-block loop/scalar overhead
+    (measured RB=32 1.6x over RB=8 at K=48k, scripts/probe_gather5.py),
+    but the per-row table tile [RB, K] must fit VMEM -- shrink RB for
+    long tables."""
+    n_chunks = _ceil_to(k, LANES) // LANES + WA
+    for rb in (32, 16, 8):
+        if rb * n_chunks * LANES * 4 <= _VMEM_TABLE_BUDGET:
+            return rb
+    return 0
+
+
 def eligible(table, idx) -> bool:
     """1-D logical table/idx (batch axes fold into rows via custom_vmap),
     f32 table, long enough to amortize the kernel, table fits VMEM."""
     if not (table.ndim == 1 and idx.ndim == 1):
         return False
     k = table.shape[0]
-    n_chunks = _ceil_to(k, LANES) // LANES + WA
     return (idx.shape[0] >= T_CH
             and k >= 2
             and table.dtype == jnp.float32
-            and RB * n_chunks * LANES * 4 <= _VMEM_TABLE_BUDGET
+            and _pick_rb(k) > 0
             and jax.default_backend() == "tpu")
 
 
-def _make_kernel(n_chunks_padded: int):
+def _make_kernel(n_chunks_padded: int, RB: int):
     def kernel(tbl_ref, i_ref, csm_ref, r0_ref, r1_ref, o_ref):
         t = pl.program_id(1)
         for b in range(NBLK):
@@ -122,6 +132,7 @@ def _gather_rows(table, idx, interpret):
     """[R, K] per-row tables, [R, n] int32 indices already in [0, K)."""
     r, k = table.shape
     _, n = idx.shape
+    RB = _pick_rb(k) or 8
     rp = _ceil_to(max(r, 1), RB)
     np_ = _ceil_to(n, T_CH)
     n_chunks = _ceil_to(k, LANES) // LANES
@@ -149,7 +160,7 @@ def _gather_rows(table, idx, interpret):
     basec3 = basec.reshape(rp // RB, RB, nb)
 
     out = pl.pallas_call(
-        _make_kernel(n_chunks + WA),
+        _make_kernel(n_chunks + WA, RB),
         grid=(rp // RB, np_ // T_CH),
         in_specs=[
             pl.BlockSpec((RB, n_chunks + WA, LANES), lambda rr, tt: (rr, 0, 0),

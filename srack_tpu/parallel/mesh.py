@@ -55,6 +55,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(tree, mesh: Mesh):
     """Place a pytree whose leaves have a leading batch axis onto the mesh,
-    batch axis split over all mesh axes."""
+    batch axis split over all mesh axes.
+
+    Multi-process meshes (after ``parallel.init_distributed``): every
+    process holds the full host array and contributes its addressable
+    shards -- a plain ``device_put`` onto a cross-process sharding is
+    illegal, so the leaves go through ``make_array_from_callback``.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def place(a):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, sh, lambda idx, a=a: a[idx])
+        return jax.tree.map(place, tree)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
