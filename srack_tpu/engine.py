@@ -200,9 +200,12 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
     batch, SURVEY.md §7 step 6); each group renders in a single batched
     call.  Returns a list of ``[channels, n]`` arrays in input order.
 
-    With ``mesh``, topology groups are placed round-robin on the mesh's
-    devices: dispatch is async, so heterogeneous groups execute
-    *concurrently* across chips instead of serializing on one.
+    With ``mesh``, topology groups are placed on the mesh's devices by a
+    greedy longest-processing-time schedule -- groups sorted by estimated
+    cost (voices x module count, the dominant term for the per-sample
+    engines) and assigned to the least-loaded device -- so heterogeneous
+    groups balance across chips; dispatch is async, so they execute
+    concurrently instead of serializing on one.
     """
     groups: dict = {}
     for i, p in enumerate(patches):
@@ -213,13 +216,24 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
     elif isinstance(key, int):
         key = jax.random.PRNGKey(key)
     devices = list(mesh.devices.flat) if mesh is not None else None
-    for gi, idxs in enumerate(groups.values()):
+    group_list = list(enumerate(groups.values()))
+    assignment = {}
+    if devices is not None:
+        load = [0.0] * len(devices)
+        costed = sorted(
+            group_list,
+            key=lambda g: -(len(g[1]) * len(patches[g[1][0]])))
+        for gi, idxs in costed:
+            d = min(range(len(devices)), key=load.__getitem__)
+            assignment[gi] = d
+            load[d] += len(idxs) * len(patches[idxs[0]])
+    for gi, idxs in group_list:
         sub = jax.random.fold_in(key, gi)
 
         def place(tree):
             if devices is None:
                 return tree
-            dev = devices[gi % len(devices)]
+            dev = devices[assignment[gi]]
             return jax.tree.map(lambda a: jax.device_put(a, dev), tree)
 
         if len(idxs) == 1:
