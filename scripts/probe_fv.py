@@ -116,20 +116,21 @@ def build_variant(variant, comb_lens, ap_lens, n, t_c):
             B = (ys * one_m[:, None, :]).reshape(VB, n_comb, S, LANES)
             B = local_scan(B, damp[:, None, :, None] * jnp.ones(
                 (1, 1, 1, 1), B.dtype))
-            E = B[..., -1]                               # [VB, 16, S]
+            E = B[..., LANES - 1:].reshape(VB, n_comb, S)
             c = fs_ref[:, :n_comb]                       # [VB, 16]
-            carries = []
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S, 1), 2)
+            carry = jnp.zeros((VB, n_comb, S, 1), B.dtype)
             for j in range(S):
-                carries.append(c)
-                c = E[:, :, j] + d128 * c
-            carry = jnp.stack(carries, axis=2)           # [VB, 16, S]
-            fs_full = B + P128[:, None, None, :] * carry[..., None]
+                carry = jnp.where(iota_s == j, c[:, :, None, None], carry)
+                c = E[:, :, j:j + 1].reshape(VB, n_comb) + d128 * c
+            fs_full = B + P128[:, None, None, :] * carry
             fs_flat = fs_full.reshape(VB, n_comb, t_c)
             w_all = mixed[:, None, :] + fs_flat * feed[:, None, :]
-            ys_list = [ys[:, j] for j in range(n_comb)]
+            ys_list = [ys[:, j:j + 1, :].reshape(VB, t_c)
+                       for j in range(n_comb)]
             for j in range(n_comb):
                 h = h_refs[j][...]
-                w = w_all[:, j]
+                w = w_all[:, j:j + 1, :].reshape(VB, t_c)
                 h_refs[j][...] = (w if t_c == h.shape[1] else
                                   jnp.concatenate([h[:, t_c:], w], axis=1))
             fs_ref[:, :n_comb] = c
@@ -142,15 +143,14 @@ def build_variant(variant, comb_lens, ap_lens, n, t_c):
                 y = h[:, :t_c]
                 B = (y * one_m).reshape(VB, S, LANES)
                 B = local_scan(B, damp[:, :, None])
-                E = B[:, :, -1]                          # [VB, S]
+                E = B[:, :, LANES - 1:].reshape(VB, S)
                 c = fs_ref[:, j:j + 1]
-                carries = []
+                iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+                carry = jnp.zeros((VB, S, 1), B.dtype)
                 for jj in range(S):
-                    carries.append(c)
+                    carry = jnp.where(iota_s == jj, c[:, :, None], carry)
                     c = E[:, jj:jj + 1] + d128 * c
-                carry = jnp.concatenate(carries, axis=1)  # [VB, S]
-                fs_full = (B + P128[:, None, :] * carry[:, :, None]
-                           ).reshape(VB, t_c)
+                fs_full = (B + P128[:, None, :] * carry).reshape(VB, t_c)
                 w = mixed + fs_full * feed
                 h_refs[j][...] = (w if t_c == h.shape[1] else
                                   jnp.concatenate([h[:, t_c:], w], axis=1))

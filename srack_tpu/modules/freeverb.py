@@ -41,6 +41,10 @@ OFFSET_ROOM = 0.7
 ALLPASS_FEEDBACK = 0.5
 
 
+# timing-attribution knob, see _block's ring normalization
+_ASSUME_RING_ALIGNED = False
+
+
 def adjust_length(length: int, sample_rate: int) -> int:
     return max(1, (length * sample_rate) // 44100)
 
@@ -199,8 +203,15 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     hist = {}
     for k in line_keys:
         buf, idx = state[k], state[f"{k}_idx"]
-        hist[k] = jax.lax.dynamic_slice(
-            jnp.concatenate([buf, buf]), (idx,), (buf.shape[0],))
+        if _ASSUME_RING_ALIGNED:
+            # dev knob (scripts/profile_reverb.py): every _block exit and
+            # fresh init leaves idx == 0, so the rotation is a no-op on
+            # the block-engine steady state; this skips it to attribute
+            # its cost (NOT semantics-safe after a scan-engine handoff)
+            hist[k] = buf
+        else:
+            hist[k] = jax.lax.dynamic_slice(
+                jnp.concatenate([buf, buf]), (idx,), (buf.shape[0],))
     fs = {f"c{ch}{i}": state[f"c{ch}{i}_fs"]
           for ch in "lr" for i in range(len(cl))}
 

@@ -25,6 +25,8 @@ as int32 (VMEM has no bools).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -89,13 +91,15 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
     # v5e, subtractive voice @1024 lanes): (32, 256) runs 42.9
     # cycles/sample vs 59.7 for the old (8, 512) -- deeper unroll exposes
     # more cross-sample ILP and the smaller chunk halves the VMEM streaming
-    # working set; beyond 64 the gain flattens while compile time grows.
+    # working set.  unroll=64 adds <1% throughput over 32 (91.1 vs
+    # 91.5 ms on the 30 s headline) but its Mosaic compile is minutes vs
+    # seconds (round-2 bench: 390 s cold; scripts/cold32.py: 8 s at 32) --
+    # 32 is the compile-latency/throughput frontier (round-3 item 7).
     # Big patches inline unroll copies of a big body: past ~16 modules the
     # deeper unroll measures neutral (sequencer: 146.3 vs 148.9 ms) while
-    # Mosaic compile time explodes (72.7 vs 10.8 s), so auto-unroll backs
-    # off to 16 there.  Small patches take 64 (voice 88.2 vs 90.6 ms).
+    # Mosaic compile time grows, so auto-unroll backs off to 16 there.
     if unroll is None:
-        unroll = 64 if len(compiled.instances) <= 16 else 16
+        unroll = 32 if len(compiled.instances) <= 16 else 16
     """Build the fused batched render fn for ``compiled`` over ``n`` samples.
 
     Returned callable matches ``make_render_fn(n, batched=True)``:
@@ -116,8 +120,11 @@ def make_fused_render(compiled, n: int, t_chunk: int = 256,
             if tc <= t_chunk and n % tc == 0:
                 t_chunk = tc
                 break
-    while t_chunk % unroll:
-        unroll //= 2
+    if t_chunk % unroll:
+        # keep the deepest unroll that divides the chunk (the old
+        # halve-to-1 fallback for e.g. unroll=24 threw away all the
+        # cross-sample ILP -- measured 8.8 vs 16 G on the headline)
+        unroll = math.gcd(unroll, t_chunk) or 1
     np_ = _ceil_to(n, t_chunk)
     n_chunks = np_ // t_chunk
     n_channels = cfg.channels
@@ -330,8 +337,11 @@ def make_fused_render_buffer(compiled, n: int, t_chunk: int = 256,
         # state past the block boundary *every block* (compounding), since
         # the outer scan re-enters the kernel with the carried state
         t_chunk = block
-    while t_chunk % unroll:
-        unroll //= 2
+    if t_chunk % unroll:
+        # keep the deepest unroll that divides the chunk (the old
+        # halve-to-1 fallback for e.g. unroll=24 threw away all the
+        # cross-sample ILP -- measured 8.8 vs 16 G on the headline)
+        unroll = math.gcd(unroll, t_chunk) or 1
     bp = _ceil_to(block, t_chunk)
     n_chunks = bp // t_chunk
     assert bp == block

@@ -44,7 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 T_CH = 2048      # time lanes per grid step
 NBLK = T_CH // LANES
-WA = 4           # per-row window chunks (covers playback rates < ~WA-1)
+G = 2            # column blocks sharing one per-row window-slab fetch
+WA = 5           # per-row window chunks (covers playback rates < ~2 over
+                 # a G-block span; the dominant per-block cost is the RB
+                 # dynamic slab reads, so G blocks share one fetch)
 WB = 2           # table-head chunks (trigger restarts / end-of-sample)
 
 # per-row tables must fit VMEM alongside the idx/out tiles
@@ -83,46 +86,42 @@ def eligible(table, idx) -> bool:
 def _make_kernel(n_chunks_padded: int, RB: int):
     def kernel(tbl_ref, i_ref, csm_ref, r0_ref, r1_ref, o_ref):
         t = pl.program_id(1)
-        for b in range(NBLK):
-            col = t * NBLK + b
-            ix = i_ref[:, b * LANES:(b + 1) * LANES]
-            bases = [csm_ref[0, r, col] for r in range(RB)]
+        for k in range(NBLK // G):
+            # one [WA, 128] sublane slab per row serves G column blocks
+            # (the per-row dynamic reads dominate; bases are snapshotted
+            # at the pair's first sample in the XLA precompute)
+            col0 = t * NBLK + k * G
+            bases = [csm_ref[0, r, col0] for r in range(RB)]
             base_v = jnp.stack(bases).reshape(RB, 1)
-            local = ix - base_v * LANES
-            acc = jnp.zeros((RB, LANES), jnp.float32)
-            # per-row windows: one [WA, 128] sublane slab per row
             slabs = jnp.stack(
                 [tbl_ref[r, pl.ds(bases[r], WA), :] for r in range(RB)])
-            for w in range(WA):
-                win = slabs[:, w, :]
-                lw = local - w * LANES
-                g = jnp.take_along_axis(win, jnp.clip(lw, 0, LANES - 1),
-                                        axis=1)
-                hit = jnp.logical_and(lw >= 0, lw < LANES)
-                acc = jnp.where(hit, g, acc)
-            # table-head window (static slab, per-row rows)
-            for c in range(WB):
-                win = tbl_ref[:, c, :]
-                lc = ix - c * LANES
-                g = jnp.take_along_axis(win, jnp.clip(lc, 0, LANES - 1),
-                                        axis=1)
-                hit = jnp.logical_and(lc >= 0, lc < LANES)
-                acc = jnp.where(hit, g, acc)
-            # residual chunk loop: zero iterations when the static windows
-            # covered everything (r0 > r1)
-            r0 = r0_ref[0, 0, col]
-            r1 = r1_ref[0, 0, col]
+            for g_i in range(G):
+                b = k * G + g_i
+                col = col0 + g_i
+                ix = i_ref[:, b * LANES:(b + 1) * LANES]
+                hi = jnp.right_shift(ix, 7)
+                lo = jnp.bitwise_and(ix, 127)  # gather lane; misses are
+                acc = jnp.zeros((RB, LANES), jnp.float32)  # masked below
+                for w in range(WA):
+                    win = slabs[:, w, :]
+                    gth = jnp.take_along_axis(win, lo, axis=1)
+                    acc = jnp.where(hi == base_v + w, gth, acc)
+                # table-head window (static rows, per-row tables)
+                for c in range(WB):
+                    gth = jnp.take_along_axis(tbl_ref[:, c, :], lo, axis=1)
+                    acc = jnp.where(hi == c, gth, acc)
+                # residual chunk loop: zero iterations when the static
+                # windows covered everything (r0 > r1)
+                r0 = r0_ref[0, 0, col]
+                r1 = r1_ref[0, 0, col]
 
-            def body(c, acc):
-                win = tbl_ref[:, pl.ds(c, 1), :].reshape(RB, LANES)
-                lc = ix - c * LANES
-                g = jnp.take_along_axis(win, jnp.clip(lc, 0, LANES - 1),
-                                        axis=1)
-                hit = jnp.logical_and(lc >= 0, lc < LANES)
-                return jnp.where(hit, g, acc)
+                def body(c, acc):
+                    win = tbl_ref[:, pl.ds(c, 1), :].reshape(RB, LANES)
+                    gth = jnp.take_along_axis(win, lo, axis=1)
+                    return jnp.where(hi == c, gth, acc)
 
-            acc = jax.lax.fori_loop(r0, r1 + 1, body, acc)
-            o_ref[:, b * LANES:(b + 1) * LANES] = acc
+                acc = jax.lax.fori_loop(r0, r1 + 1, body, acc)
+                o_ref[:, b * LANES:(b + 1) * LANES] = acc
 
     return kernel
 
@@ -143,7 +142,10 @@ def _gather_rows(table, idx, interpret):
 
     nb = np_ // LANES
     ib = idx.reshape(rp, nb, LANES)
-    basec = jnp.right_shift(ib[:, :, 0], 7)            # [rp, nb]
+    # window base = chunk of the first sample of each G-block PAIR (both
+    # blocks of a pair share one slab fetch in the kernel)
+    base_pair = jnp.right_shift(ib[:, ::G, 0], 7)      # [rp, nb/G]
+    basec = jnp.repeat(base_pair, G, axis=1)           # [rp, nb]
     local = ib - (basec << 7)[:, :, None]
     covered = jnp.logical_or(
         jnp.logical_and(local >= 0, local < WA * LANES),
