@@ -116,15 +116,18 @@ def main() -> None:
         # sequencers are register-safe select chains -> fused engine; long
         # render amortizes the ~28 ms/call transport like the headline
         ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
-        # sample playback keeps this on the block engine (waveform reads)
-        ("drums x1024 (block engine)", drum_machine(cfg), 48000, 1024),
+        # sample playback keeps this on the block engine (waveform reads);
+        # 10 s renders amortize the ~28 ms transport like the headline
+        ("drums x1024 x10s (block engine)", drum_machine(cfg), 480000, 1024),
         # real-length samples: three 48,000-frame waveforms through the
         # windowed dynamic-gather kernel (ops/sample_gather); 2 s render
         # halves the transport fraction
         ("sampler x1024 x2s (48k-frame samples)", sampler_kit(cfg),
          96000, 1024),
-        # Freeverb's 12 delay lines per channel, chunk-parallel block impl
-        ("reverb x1024 (block engine)", reverb_patch(cfg), 48000, 1024),
+        # Freeverb's 12 delay lines per channel: whole-Freeverb VMEM kernel
+        # + in-VMEM ring canonicalization (ops/ring_roll); 10 s renders
+        # amortize the ~28 ms transport like the headline
+        ("reverb x1024 x10s (block engine)", reverb_patch(cfg), 480000, 1024),
     ):
         try:
             bench_config(name, patch, n, v)

@@ -199,7 +199,13 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
                  + [f"al{i}" for i in range(len(al))]
                  + [f"ar{i}" for i in range(len(ar))])
 
-    # ring -> chronological (hist[0] = oldest = next read)
+    # ring -> chronological (hist[0] = oldest = next read).  On TPU the
+    # per-voice rotation runs as a VMEM kernel (ops/ring_roll.py): the
+    # vmapped XLA dynamic_slice lowers to the known-slow gather (~39 ms
+    # of a 93 ms 1-s reverb render at 1024 voices, round-3 profile).
+    tpu_rot = dt == jnp.float32 and jax.default_backend() == "tpu"
+    if tpu_rot:
+        from ..ops.ring_roll import ring_align
     hist = {}
     for k in line_keys:
         buf, idx = state[k], state[f"{k}_idx"]
@@ -209,6 +215,8 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             # the block-engine steady state; this skips it to attribute
             # its cost (NOT semantics-safe after a scan-engine handoff)
             hist[k] = buf
+        elif tpu_rot:
+            hist[k] = ring_align(buf, idx)
         else:
             hist[k] = jax.lax.dynamic_slice(
                 jnp.concatenate([buf, buf]), (idx,), (buf.shape[0],))

@@ -79,6 +79,25 @@ def _grid_make(cfg: AudioConfig, sequence=None, n_steps: int = None,
     return ("gridseq", int(octaves), cap), params
 
 
+def _grid_derive(cfg: AudioConfig, statics, params, connected):
+    """Hoist the per-render packed table + CV scale out of the sample loop
+    (Mosaic does not LICM: the K multiply-adds and the reciprocal were
+    real per-sample VPU cost -- see ModuleDef.derive)."""
+    spo = params["steps_per_octave"].astype(CV_DTYPE)
+    return {"packed_tbl": params["notes"] * 4 + params["cells"],
+            "inv_spo": 1.0 / spo}
+
+
+def _grid_packed(params):
+    tbl = params.get("packed_tbl")
+    if tbl is None:  # automated-params path skips derive
+        tbl = params["notes"] * 4 + params["cells"]
+    inv_spo = params.get("inv_spo")
+    if inv_spo is None:
+        inv_spo = 1.0 / params["steps_per_octave"].astype(CV_DTYPE)
+    return tbl, inv_spo
+
+
 def _grid_init_state(cfg: AudioConfig, statics):
     return {
         "current_step": jnp.asarray(0, dtype=jnp.int32),
@@ -126,12 +145,11 @@ def _grid_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         state, step_in, sync_in, params["n_steps"], n)
     # one packed select-chain lookup (note<<2 | cell); TPU gathers are
     # scalar-slow, K=64 fused selects are not
-    packed_tbl = params["notes"] * 4 + params["cells"]
+    packed_tbl, inv_spo = _grid_packed(params)
     packed = table_lookup(packed_tbl, cs)
     cell = packed & 3
     note = packed >> 2
-    spo = params["steps_per_octave"].astype(CV_DTYPE)
-    note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
+    note_cv = note.astype(CV_DTYPE) * inv_spo
     on = cell > 0
     # forward-fill: empty cells hold the last emitted CV (sequencer.rs:237)
     filled, any_on = forward_fill(note_cv, on, axis=0)
@@ -155,11 +173,11 @@ def _grid_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     # packed select-chain lookup (same as _grid_block): pure register math,
     # so the step runs inside the fused Pallas voice kernel where cs is an
     # (8,128) tile and a real gather would not vectorise
-    packed = table_lookup(params["notes"] * 4 + params["cells"], cs)
+    packed_tbl, inv_spo = _grid_packed(params)
+    packed = table_lookup(packed_tbl, cs)
     cell = packed % 4
     note = packed // 4
-    spo = params["steps_per_octave"].astype(CV_DTYPE)
-    note_cv = note.astype(CV_DTYPE) * (1.0 / spo)
+    note_cv = note.astype(CV_DTYPE) * inv_spo
     on = cell > 0
     cv_out = jnp.where(on, note_cv, state["last_cv"])
     gate_out = jnp.where(on, jnp.where(cell == 2, cv(1.0), step_in), cv(0.0))
@@ -186,6 +204,7 @@ GRID_SEQUENCER = ModuleDef(
     init_state=_grid_init_state,
     step=_grid_step,
     block=_grid_block,
+    derive=_grid_derive,
 )
 
 
@@ -223,6 +242,24 @@ def _pat_make(cfg: AudioConfig, pattern=None, n_steps: int = None,
         "n_steps": jnp.asarray(int(n_steps), dtype=jnp.int32),
     }
     return ("patseq", N_ROWS, cap), params
+
+
+def _pat_derive(cfg: AudioConfig, statics, params, connected):
+    """Hoist the 8-row 2-bit packing out of the sample loop: the 7 K-wide
+    multiply-adds per sample were the dominant cost of a pattern sequencer
+    inside the fused kernel (Mosaic does not LICM)."""
+    return {"packed_tbl": _pat_packed(params)}
+
+
+def _pat_packed(params):
+    tbl = params.get("packed_tbl")
+    if tbl is not None:  # derived once per render
+        return tbl
+    cells = params["cells"]  # [..., N_ROWS, K]
+    tbl = cells[..., 0, :]
+    for r in range(1, N_ROWS):
+        tbl = tbl + cells[..., r, :] * (4 ** r)
+    return tbl
 
 
 def _pat_init_state(cfg: AudioConfig, statics):
