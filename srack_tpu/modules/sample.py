@@ -24,12 +24,15 @@ from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
                          forward_fill, table_lookup, transition,
                          transition_init)
 
-# Waveform reads in the block path: the windowed dynamic-gather kernel
-# (ops/sample_gather) handles tables of any length the per-row VMEM budget
-# admits (~3 M frames) at >1 G samples/s; the select-chain kernel
-# (ops/scan_kernel, O(K) vector ops) covers short renders and small
-# tables; the XLA gather (~50 M scalar loads/s) is the last resort.
-from ..ops import sample_gather
+# Waveform reads in the block path: the fused whole-Sample kernel
+# (ops/sample_kernel) computes the entire gate->position->gather pipeline
+# in one VMEM pass for f32 lanes on TPU; the windowed dynamic-gather
+# kernel (ops/sample_gather) handles tables of any length the per-row
+# VMEM budget admits (~3 M frames) at >1 G samples/s when only the read
+# is fusable; the select-chain kernel (ops/scan_kernel, O(K) vector ops)
+# covers short renders and small tables; the XLA gather (~50 M scalar
+# loads/s) is the last resort.
+from ..ops import sample_gather, sample_kernel
 from ..ops.scan_kernel import GATHER_MAX_K as SELECT_CHAIN_MAX
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
@@ -105,6 +108,17 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     lane = state["pos"].shape
     gate = block_lane(ins[0], lane, n)
     cv_in = block_lane(ins[1], lane, n)
+
+    if sample_kernel.eligible(params["samples"], gate, n):
+        base_rate = params["wav_sr"] / cfg.sample_rate
+        out, pos_end, playing_end, g_last = sample_kernel.play_table(
+            gate, cv_in.astype(jnp.float32), params["samples"], base_rate,
+            state["pos"], state["playing"], state["gate_last"],
+            params["length"])
+        new_state = {"pos": pos_end.astype(CV_DTYPE),
+                     "playing": playing_end, "gate_last": g_last}
+        return new_state, (out.astype(CV_DTYPE),)
+
     gate_last, trig = block_transitions(state["gate_last"], gate)
 
     length_f = params["length"].astype(CV_DTYPE)

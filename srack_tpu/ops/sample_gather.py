@@ -134,10 +134,6 @@ def _gather_rows(table, idx, interpret):
     RB = _pick_rb(k) or 8
     rp = _ceil_to(max(r, 1), RB)
     np_ = _ceil_to(n, T_CH)
-    n_chunks = _ceil_to(k, LANES) // LANES
-    tbl3d = jnp.pad(
-        table, ((0, rp - r), (0, (n_chunks + WA) * LANES - k))
-    ).reshape(rp, n_chunks + WA, LANES)
     idx = jnp.pad(idx, ((0, rp - r), (0, np_ - n)))
 
     nb = np_ // LANES
@@ -159,6 +155,27 @@ def _gather_rows(table, idx, interpret):
     r0 = jnp.right_shift(u_min, 7).astype(jnp.int32)[:, None, :]
     r1 = jnp.right_shift(jnp.maximum(u_max, -1), 7).astype(
         jnp.int32)[:, None, :]
+    out = _gather_precomputed(table, idx, basec, r0, r1, n, interpret)
+    return out[:, :n]
+
+
+def _gather_precomputed(table, idx, basec, r0, r1, n, interpret):
+    """Core windowed gather with window summaries already computed --
+    either by :func:`_gather_rows` above (XLA reductions over the index
+    array) or in-kernel by ops/sample_kernel's position pipeline.
+
+    ``table``: [R, K]; ``idx``: [rp, np_] padded clipped indices;
+    ``basec``: [rp, nb] per-row window-base chunks; ``r0``/``r1``:
+    [rp//RB, 1, nb] residual chunk ranges.  Returns [R, np_] (caller
+    slices off the time padding)."""
+    r, k = table.shape
+    RB = _pick_rb(k) or 8
+    rp, np_ = idx.shape
+    nb = np_ // LANES
+    n_chunks = _ceil_to(k, LANES) // LANES
+    tbl3d = jnp.pad(
+        table, ((0, rp - r), (0, (n_chunks + WA) * LANES - k))
+    ).reshape(rp, n_chunks + WA, LANES)
     basec3 = basec.reshape(rp // RB, RB, nb)
 
     out = pl.pallas_call(

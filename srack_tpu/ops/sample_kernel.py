@@ -1,0 +1,302 @@
+"""Fused whole-Sample position pipeline (Pallas TPU).
+
+``modules/sample.py _block`` computes playback positions from gate/CV
+lanes with a chain of primitives -- edge detection, rate ``exp2``,
+prefix-sum, trigger forward-fill, threshold/clip -- that XLA + the
+individual scan kernels execute as ~8 separate HBM round trips over the
+[voices, n] lanes (measured ~19 ms of the ~30 ms Sample block at
+[1024 x 96000], scripts/probe_sample_parts.py).  This kernel computes the
+entire pipeline in ONE chunked VMEM pass (gate+cv in, gather indices
+out), and additionally emits the window-base / residual-range summaries
+the windowed table gather (ops/sample_gather) otherwise recomputes from
+the index array in XLA (3 more passes).
+
+Semantics are the Sample block path's, which are the reference's serial
+player (src/synth/sample.rs:215-236): rising gate edge restarts playback,
+position is a segmented prefix sum of ``(wav_sr/sr) * 2^cv`` rates,
+running past the end emits ``samples[0]`` and stops -- folded here into
+``idx = 0`` where crossed (``samples[0]`` IS the read at index 0), so the
+kernel's only lane output is the final gather index.
+
+The in-chunk scans replicate ops/scan_kernel's exact structure (same
+T_CHUNK, same Hillis-Steele shift order, carry folded after the chunk
+scan) so results match the unfused path bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import sample_gather
+from .sample_gather import G, LANES, T_CH, WA, WB
+
+NBLK = T_CH // LANES
+BIG = 2 ** 30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _shift(x, s, fill):
+    rows, n = x.shape
+    if s >= n:
+        return jnp.full_like(x, fill)
+    pad = jnp.full((rows, s), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, : n - s]], axis=1)
+
+
+def _make_kernel(rb: int, n: int, k: int):
+    """Grid (rows/rb, n_pad/T_CH); per-row-tile carries in scratch."""
+    t_last = (n - 1) // T_CH
+    j_last = (n - 1) % T_CH
+
+    def kernel(gate_ref, cv_ref, par_ref, idx_ref, basec_ref, umin_ref,
+               umax_ref, st_ref, c_cum, c_fill, c_ok, c_last):
+        t = pl.program_id(1)
+
+        # per-row params from SMEM
+        base = jnp.stack([par_ref[r, 0] for r in range(rb)]).reshape(rb, 1)
+        pos0 = jnp.stack([par_ref[r, 1] for r in range(rb)]).reshape(rb, 1)
+        play0 = jnp.stack([par_ref[r, 2] for r in range(rb)]).reshape(rb, 1)
+        len_f = jnp.stack([par_ref[r, 3] for r in range(rb)]).reshape(rb, 1)
+        last0 = jnp.stack([par_ref[r, 4] for r in range(rb)]).reshape(rb, 1)
+
+        @pl.when(t == 0)
+        def _():
+            c_cum[...] = jnp.zeros(c_cum.shape, jnp.float32)
+            c_fill[...] = jnp.zeros(c_fill.shape, jnp.float32)
+            c_ok[...] = jnp.zeros(c_ok.shape, jnp.int32)
+            # carried TransitionDetector state (transition_init() is True
+            # for a fresh render: a high gate at t=0 does not fire)
+            c_last[...] = jnp.broadcast_to(
+                (last0 > 0.0).astype(jnp.int32), c_last.shape)
+
+        gate = gate_ref[...]
+        above = (gate > 0.0).astype(jnp.int32)
+        prev = jnp.concatenate([c_last[:, :1], above[:, :-1]], axis=1)
+        trig = above * (1 - prev)
+
+        rate = base * jnp.exp2(cv_ref[...])
+
+        # inclusive prefix sum of rate (scan_kernel "sum" structure)
+        cum = rate
+        s = 1
+        while s < T_CH:
+            cum = cum + _shift(cum, s, 0.0)
+            s <<= 1
+        cum = cum + c_cum[:, :1]
+        cum_ex = cum - rate
+
+        # forward-fill cum_ex at triggers (scan_kernel "fill" structure)
+        v = jnp.where(trig != 0, cum_ex, 0.0)
+        ok = trig
+        s = 1
+        while s < T_CH:
+            sv = _shift(v, s, 0.0)
+            so = _shift(ok, s, 0)
+            v = jnp.where(ok != 0, v, sv)
+            ok = ok | so
+            s <<= 1
+        cum_at = jnp.where(ok != 0, v, c_fill[:, :1])
+        htr = ok | c_ok[:, :1]
+
+        pos = jnp.where(htr != 0, cum_ex - cum_at,
+                        jnp.where(play0 > 0.0, cum_ex + pos0, pos0))
+        crossed = pos >= len_f
+        idx = jnp.clip(pos.astype(jnp.int32), 0, k - 1)
+        idx = jnp.where(crossed, 0, idx)
+        idx_ref[...] = idx
+
+        # window-base / residual summaries for the table gather.  Each
+        # per-column-block scalar lands in lane b of a [rb, 128] tile
+        # (Mosaic VMEM blocks must be (8,128)-tileable -- a [rb, 16]
+        # output block is not); the cross-row tile reduction for the
+        # residual ranges happens in XLA on the [rp, nb] summaries.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+        basec_acc = jnp.zeros((rb, LANES), jnp.int32)
+        umin_acc = jnp.full((rb, LANES), BIG, jnp.int32)
+        umax_acc = jnp.full((rb, LANES), -1, jnp.int32)
+        for b in range(NBLK):
+            blk = idx[:, b * LANES:(b + 1) * LANES]
+            if b % G == 0:
+                base_pair = jnp.right_shift(blk[:, :1], 7)
+            basec_acc = jnp.where(lane_i == b, base_pair, basec_acc)
+            local = blk - (base_pair << 7)
+            covered = jnp.logical_or(
+                jnp.logical_and(local >= 0, local < WA * LANES),
+                blk < WB * LANES)
+            unc_min = jnp.min(jnp.where(covered, BIG, blk), axis=1,
+                              keepdims=True)
+            unc_max = jnp.max(jnp.where(covered, -1, blk), axis=1,
+                              keepdims=True)
+            umin_acc = jnp.where(lane_i == b, unc_min, umin_acc)
+            umax_acc = jnp.where(lane_i == b, unc_max, umax_acc)
+        basec_ref[...] = basec_acc
+        umin_ref[...] = umin_acc
+        umax_ref[...] = umax_acc
+
+        # end-of-render state at the true last sample (n-1)
+        @pl.when(t == t_last)
+        def _():
+            s_j = pos[:, j_last:j_last + 1]
+            rate_j = rate[:, j_last:j_last + 1]
+            cross_j = crossed[:, j_last:j_last + 1]
+            htr_j = htr[:, j_last:j_last + 1] != 0
+            active = jnp.logical_or(htr_j, play0 > 0.0)
+            playing_end = jnp.logical_and(active,
+                                          jnp.logical_not(cross_j))
+            pos_end = jnp.where(playing_end, s_j + rate_j,
+                                jnp.where(cross_j, 0.0, pos0))
+            st_ref[:, 0:1] = pos_end
+            st_ref[:, 1:2] = playing_end.astype(jnp.float32)
+            st_ref[:, 2:3] = above[:, j_last:j_last + 1].astype(jnp.float32)
+
+        # chunk carries
+        c_cum[...] = jnp.broadcast_to(cum[:, -1:], c_cum.shape)
+        c_fill[...] = jnp.broadcast_to(cum_at[:, -1:], c_fill.shape)
+        c_ok[...] = jnp.broadcast_to(htr[:, -1:], c_ok.shape)
+        c_last[...] = jnp.broadcast_to(above[:, -1:], c_last.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
+                    length, k, interpret):
+    """[R, n] lanes + [R] per-row params -> padded kernel outputs.
+
+    Returns (idx [rp, np], basec [rp, nb], r0 [rt, 1, nb], r1 [rt, 1, nb],
+    pos_end [R], playing_end [R] bool, gate_last [R] bool) with
+    rp/np/rt = the gather kernel's padding for table length ``k``."""
+    r, n = gate.shape
+    rb = sample_gather._pick_rb(k) or 8
+    rp = _ceil_to(max(r, 1), rb)
+    np_ = _ceil_to(n, T_CH)
+
+    def padv(a, fill=0.0):
+        return jnp.pad(a, ((0, rp - a.shape[0]),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    gate_p = padv(jnp.pad(gate, ((0, 0), (0, np_ - n))))
+    cv_p = padv(jnp.pad(cv, ((0, 0), (0, np_ - n))))
+    par = padv(jnp.stack([
+        base_rate.astype(jnp.float32),
+        pos0.astype(jnp.float32),
+        playing0.astype(jnp.float32),
+        length.astype(jnp.float32),
+        gate_last0.astype(jnp.float32),
+    ], axis=1))
+
+    nb = np_ // LANES
+    nt = np_ // T_CH
+    lane = pl.BlockSpec((rb, T_CH), lambda rr, tt: (rr, tt),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel(rb, n, k),
+        grid=(rp // rb, np_ // T_CH),
+        in_specs=[
+            lane, lane,
+            pl.BlockSpec((rb, 5), lambda rr, tt: (rr, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            lane,
+            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, np_), jnp.int32),
+            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rp, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rb, LANES), jnp.float32),
+                        pltpu.VMEM((rb, LANES), jnp.float32),
+                        pltpu.VMEM((rb, LANES), jnp.int32),
+                        pltpu.VMEM((rb, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(gate_p, cv_p, par)
+    idx, basec_b, umin_b, umax_b, st = outs
+
+    def unblk(a):  # [rp, nt*128] lane-b summaries -> [rp, nb]
+        return a.reshape(rp, nt, LANES)[:, :, :NBLK].reshape(rp, nb)
+
+    basec = unblk(basec_b)
+    umin = unblk(umin_b).reshape(rp // rb, rb, nb).min(axis=1)
+    umax = unblk(umax_b).reshape(rp // rb, rb, nb).max(axis=1)
+    r0 = jnp.right_shift(umin, 7)[:, None, :]
+    r1 = jnp.right_shift(jnp.maximum(umax, -1), 7)[:, None, :]
+    pos_end = st[:r, 0]
+    playing_end = st[:r, 1] > 0.0
+    gate_last = st[:r, 2] > 0.0
+    return idx, basec, r0, r1, pos_end, playing_end, gate_last
+
+
+def eligible(table, gate, n: int) -> bool:
+    """Fast-mode TPU path: long-enough render, gatherable table, f32
+    lanes (exact precision's f64 lanes stay on the unfused path)."""
+    return (table.ndim == 1 and gate.ndim == 1
+            and n >= T_CH
+            and table.shape[0] >= 2
+            and table.dtype == jnp.float32
+            and gate.dtype == jnp.float32
+            and sample_gather._pick_rb(table.shape[0]) > 0
+            and jax.default_backend() == "tpu")
+
+
+@jax.custom_batching.custom_vmap
+def play_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
+              length):
+    """[R, n] lanes + [R, K] tables + [R] params -> (audio [R, n],
+    pos_end [R], playing_end [R] bool, gate_last [R] bool).  The position
+    kernel feeds the windowed gather its precomputed window summaries.
+    Batch axes (vmap over voices) fold into rows."""
+    interpret = jax.default_backend() != "tpu"
+    _, n = gate.shape
+    k = table.shape[-1]
+    idx, basec, r0, r1, pos_end, playing_end, gate_last = _positions_rows(
+        gate, cv, base_rate, pos0, playing0, gate_last0, length, k,
+        interpret)
+    read = sample_gather._gather_precomputed(table, idx, basec, r0, r1, n,
+                                             interpret)
+    out = jnp.where(length[:, None] > 0, read[:, :n], 0.0)
+    return out, pos_end, playing_end, gate_last
+
+
+@play_rows.def_vmap
+def _play_rule(axis_size, in_batched, *args):
+    args = [a if b else
+            jnp.broadcast_to(jnp.asarray(a)[None],
+                             (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)]
+    flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
+    outs = play_rows(*flat)
+    return (tuple(o.reshape((axis_size, -1) + o.shape[1:])
+                  for o in outs), (True,) * len(outs))
+
+
+def play_table(gate, cv, table, base_rate, pos0, playing0, gate_last0,
+               length):
+    """Logical single-voice entry: [n] gate/cv, [K] table, scalar params.
+    Under the block engine's vmap the custom rule folds voices to rows."""
+    outs = play_rows(gate[None], cv[None], table[None],
+                     jnp.asarray(base_rate)[None], jnp.asarray(pos0)[None],
+                     jnp.asarray(playing0)[None],
+                     jnp.asarray(gate_last0)[None],
+                     jnp.asarray(length)[None])
+    return tuple(o[0] for o in outs)
