@@ -120,10 +120,12 @@ def main() -> None:
         # 10 s renders amortize the ~28 ms transport like the headline
         ("drums x1024 x10s (block engine)", drum_machine(cfg), 480000, 1024),
         # real-length samples: three 48,000-frame waveforms through the
-        # windowed dynamic-gather kernel (ops/sample_gather); 2 s render
-        # halves the transport fraction
-        ("sampler x1024 x2s (48k-frame samples)", sampler_kit(cfg),
-         96000, 1024),
+        # fused position+windowed-gather kernel pair (ops/sample_kernel +
+        # ops/sample_gather); 10 s renders amortize the ~28 ms transport
+        # (device rate ~1.18 G; measured 1.11 G incl. transport at 10 s
+        # vs 0.88 G at 2 s, scripts/time_sampler10.py)
+        ("sampler x1024 x10s (48k-frame samples)", sampler_kit(cfg),
+         480000, 1024),
         # Freeverb's 12 delay lines per channel: whole-Freeverb VMEM kernel
         # + in-VMEM ring canonicalization (ops/ring_roll); 10 s renders
         # amortize the ~28 ms transport like the headline

@@ -29,7 +29,7 @@ def _compare(patch, n=512, v=3, atol=5e-6):
 
 
 @pytest.mark.parametrize("name", ["sine", "subtractive", "sequencer",
-                                  "feedback", "reverb", "drums"])
+                                  "feedback", "reverb", "drums", "sampler"])
 def test_block_matches_scan_presets(name):
     channels = 2 if name == "reverb" else 1
     cfg = st.AudioConfig(channels=channels, **CFG_KW)

@@ -149,6 +149,18 @@ def test_fuzz_irrational_rates():
     assert mismatch <= R * N * 1e-3, mismatch
 
 
+def test_batch_scale_long_table():
+    """Real-length (48,000-frame) tables at batch scale through the full
+    kernel pair -- the workload the round-2 verdict said the toy-table
+    drum bench sidestepped.  16 rows fold into one 32-row kernel tile."""
+    k, r, n = 48000, 16, 4096
+    rng = np.random.default_rng(3)
+    tbl = rng.normal(size=(r, k)).astype(np.float32)
+    gate = (rng.random((r, n)) > 0.999).astype(np.float32)
+    cvl = rng.integers(-1, 2, (r, n)).astype(np.float32)
+    check(gate, cvl, tbl, k, 1.5)
+
+
 def test_vmap_folds_voices():
     out = jax.vmap(
         lambda g, c, t: sample_kernel.play_table(
