@@ -31,7 +31,9 @@ from .engine import (
     stack_params,
     replicate_params,
 )
-from .modules import CATALOG
+from .modules import CATALOG, ModuleDef
+from .modules import register as register_module
+from .modules import unregister as unregister_module
 from . import io, utils, parallel, presets
 
 __version__ = "0.1.0"
@@ -52,4 +54,7 @@ __all__ = [
     "stack_params",
     "replicate_params",
     "CATALOG",
+    "ModuleDef",
+    "register_module",
+    "unregister_module",
 ]

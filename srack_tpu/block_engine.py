@@ -211,7 +211,8 @@ class BlockProgram:
         self.stage_out = sorted(stage_out)
 
         self.pallas_ok = all(
-            insts[mid][0].type_name in PALLAS_SAFE for mid in self.stage_plan
+            insts[mid][0].type_name in PALLAS_SAFE
+            or insts[mid][0].register_safe for mid in self.stage_plan
         ) and not self.cfg.exact
 
         # automation lane routing: stage modules consume their lanes per

@@ -340,7 +340,8 @@ class CompiledPatch:
                     raise ValueError(
                         "patch not eligible for the fused kernel (needs fast "
                         "precision, no probes, and only register-friendly "
-                        f"modules: {sorted(fused.REGISTER_TYPES)})")
+                        f"modules: {sorted(fused.REGISTER_TYPES)} or custom "
+                        "types registered with register_safe=True)")
                 if self.cfg.buffer_feedback:
                     fn = jax.jit(fused.make_fused_render_buffer(self, n))
                 else:

@@ -83,6 +83,11 @@ def load_patch(source) -> Patch:
     patch = Patch(cfg, auto_output=False)
     max_counter = 0
     for m in doc["modules"]:
+        if m["type"] not in CATALOG:
+            raise ValueError(
+                f"patch file uses unknown module type {m['type']!r}; "
+                "custom types must be registered "
+                "(srack_tpu.register_module) before loading")
         mdef = CATALOG[m["type"]]
         params = {
             k: jnp.asarray(np.asarray(spec["value"], dtype=spec["dtype"]))

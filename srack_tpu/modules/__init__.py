@@ -43,10 +43,60 @@ CATALOG: dict[str, ModuleDef] = {
     )
 }
 
+# Catalog entries present at import time; :func:`unregister` refuses to
+# remove these (presets, the CLI and the .srk reader depend on them).
+_BUILTIN_TYPES = frozenset(CATALOG)
+
+
+def register(mdef: ModuleDef, *, replace: bool = False) -> ModuleDef:
+    """Add a user-defined module type to the catalog.
+
+    The TPU analogue of implementing the reference's ``SynthModule`` trait
+    and appending to ``get_catalog()`` (src/synth.rs:216-263, 421-515):
+    once registered, the type is creatable with ``Patch.add(name)``, runs
+    on the scan engine unconditionally and on the block engine (stateless
+    or ``block``-implementing modules run block-parallel; stateful ones
+    join the serial stage), persists through ``io.patchfile`` JSON, and —
+    when it declares ``register_safe=True`` — is traced into the fused
+    whole-patch Pallas kernel like the built-ins.  See
+    docs/MODULES.md "Writing your own module" for the contract.
+
+    Returns ``mdef`` so it can be used as a decorator-style one-liner.
+    """
+    if not isinstance(mdef, ModuleDef):
+        raise TypeError(f"expected a ModuleDef, got {type(mdef).__name__}")
+    if not mdef.type_name or not isinstance(mdef.type_name, str):
+        raise ValueError("ModuleDef.type_name must be a non-empty string")
+    for attr in ("make", "num_inputs", "num_outputs", "input_labels",
+                 "output_labels", "init_state", "step"):
+        if not callable(getattr(mdef, attr, None)):
+            raise ValueError(f"ModuleDef.{attr} must be callable")
+    if mdef.type_name in CATALOG and not replace:
+        raise ValueError(
+            f"module type {mdef.type_name!r} is already registered "
+            "(pass replace=True to override a custom type)")
+    if mdef.type_name in _BUILTIN_TYPES:
+        raise ValueError(
+            f"cannot replace built-in module type {mdef.type_name!r}")
+    CATALOG[mdef.type_name] = mdef
+    return mdef
+
+
+def unregister(type_name: str) -> None:
+    """Remove a previously :func:`register`-ed custom module type."""
+    if type_name in _BUILTIN_TYPES:
+        raise ValueError(f"cannot unregister built-in type {type_name!r}")
+    if type_name not in CATALOG:
+        raise KeyError(f"module type {type_name!r} is not registered")
+    del CATALOG[type_name]
+
+
 __all__ = [
     "CATALOG",
     "CV_DTYPE",
     "ModuleDef",
+    "register",
+    "unregister",
     "OSCILLATOR",
     "NOISE",
     "MOOG_FILTER",

@@ -90,6 +90,18 @@ class ModuleDef:
     # params NOT listed here push the module into the serial stage (exact
     # per-sample semantics at serial-stage speed).
     auto_block_params: frozenset = frozenset()
+    # Custom-module opt-in for the Pallas paths (the fused whole-patch
+    # kernel and the block engine's serial-stage kernel).  Built-in types
+    # are whitelisted explicitly; a registered custom type is only traced
+    # into Mosaic kernels when it declares ``register_safe=True``, which
+    # promises: ``step``/``step_nograd`` use only elementwise jnp math
+    # (no gather/scatter/reshape, no f32<->u32 bitcasts, no bool state
+    # carried across samples -- see CLAUDE.md Mosaic notes), and state is
+    # a dict of per-voice scalars or small fixed-size vectors (like the
+    # Moog filter's [5] stage vector).  Without the flag the module still
+    # runs on every engine: scan always, block via its lax.scan serial
+    # stage (block_engine.PALLAS_SAFE fallback).
+    register_safe: bool = False
 
     def port_index(self, cfg: AudioConfig, statics: Statics, port, *, output: bool) -> int:
         """Resolve a port given by index or label to an index."""

@@ -54,7 +54,7 @@ def eligible(compiled) -> bool:
     compat mode runs via :func:`make_fused_render_buffer`.)"""
     if compiled.cfg.exact or compiled.probes:
         return False
-    return all(mdef.type_name in REGISTER_TYPES
+    return all(mdef.type_name in REGISTER_TYPES or mdef.register_safe
                for mdef, _, _ in compiled.instances.values())
 
 
