@@ -36,7 +36,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_config(name, patch, n, voices, engine="auto", repeats=3):
+def bench_config(name, patch, n, voices, engine="auto", repeats=5):
+    # 5 repeats, min taken: inter-run noise on the shared device is ±3 ms
+    # and occasionally tens of ms when another tenant's compile drains
+    # (CLAUDE.md timing notes); extra repeats cost ~0.5 s total.
     compiled = st.compile_patch(patch)
     params = farm_params(patch, voices)
     state = jax.tree.map(
