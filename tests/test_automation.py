@@ -11,7 +11,10 @@ is the DAW-style layer above them.  Semantics pinned here:
   oscillator.rs:43-48);
 * lanes reach the fused Pallas engine (interpret mode) with the same
   results as the scan engine;
-* the block engine declines automated patches and auto falls back.
+* the block engine runs automation too: serial-stage modules stream lanes
+  per sample (exact), block-phase modules handle lanes natively when
+  declared (``ModuleDef.auto_block_params``) or join the serial stage —
+  incl. the classic Freeverb room-size sweep.
 """
 
 import jax
