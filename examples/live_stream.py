@@ -127,11 +127,14 @@ def main(argv):
         elif kind == "wav":
             blocks.append(block)
 
-    t0 = time.perf_counter()
     # prime pulls compile before timing starts (the reference likewise
-    # builds its plan before the stream starts)
+    # builds its plan before the stream starts), so `wall` measures only
+    # the paced region and compares honestly against `streamed`
+    for _ in range(2):
+        on_block(np.asarray(next(stream)[0]))
+    t0 = time.perf_counter()
     underruns, worst_headroom, _ = paced_consume(
-        stream, block_s, on_block=on_block)
+        stream, block_s, on_block=on_block, n_prime=0)
 
     wall = time.perf_counter() - t0
     print(f"streamed {n_blocks * block_s:.1f} s of '{name}' "

@@ -71,13 +71,13 @@ def register(mdef: ModuleDef, *, replace: bool = False) -> ModuleDef:
                  "output_labels", "init_state", "step"):
         if not callable(getattr(mdef, attr, None)):
             raise ValueError(f"ModuleDef.{attr} must be callable")
+    if mdef.type_name in _BUILTIN_TYPES:
+        raise ValueError(
+            f"cannot replace built-in module type {mdef.type_name!r}")
     if mdef.type_name in CATALOG and not replace:
         raise ValueError(
             f"module type {mdef.type_name!r} is already registered "
             "(pass replace=True to override a custom type)")
-    if mdef.type_name in _BUILTIN_TYPES:
-        raise ValueError(
-            f"cannot replace built-in module type {mdef.type_name!r}")
     CATALOG[mdef.type_name] = mdef
     return mdef
 

@@ -278,13 +278,7 @@ def _pat_block(cfg: AudioConfig, statics, params, state, ins, xs, n):
         state, step_in, sync_in, params["n_steps"], n)
     # all 8 rows packed 2 bits each into one int32 table -> one
     # select-chain lookup, rows unpacked elementwise (gather-free)
-    cells = params["cells"]
-    # python-unrolled packing (no materialized weight vector: the fused
-    # Pallas kernel forbids captured constant arrays)
-    packed_tbl = cells[0]
-    for r in range(1, N_ROWS):
-        packed_tbl = packed_tbl + cells[r] * (4 ** r)
-    packed = table_lookup(packed_tbl, cs)
+    packed = table_lookup(_pat_packed(params), cs)
     gates = []
     for r in range(N_ROWS):
         col = (packed >> (2 * r)) & 3
@@ -305,14 +299,11 @@ def _pat_step(cfg: AudioConfig, statics, params, state, ins, x=None):
     cs, step_last, sync_last = _advance_step(state, step_in, sync_in,
                                              params["n_steps"])
     # 8 rows 2-bit-packed into one table, one select-chain lookup (same as
-    # _pat_block) -- register math for the fused Pallas voice kernel
-    cells = params["cells"]
-    # python-unrolled packing (no materialized weight vector: the fused
-    # Pallas kernel forbids captured constant arrays)
-    packed_tbl = cells[0]
-    for r in range(1, N_ROWS):
-        packed_tbl = packed_tbl + cells[r] * (4 ** r)
-    packed = table_lookup(packed_tbl, cs)
+    # _pat_block) -- register math for the fused Pallas voice kernel.
+    # the packing itself is hoisted to derive (params["packed_tbl"]);
+    # _pat_packed only recomputes it when derive hasn't run (plain step
+    # calls outside a compiled render)
+    packed = table_lookup(_pat_packed(params), cs)
     sync_out = jnp.where(cs == 0, cv(1.0), cv(0.0))
     new_state = {
         "current_step": cs,
@@ -341,4 +332,5 @@ PATTERN_SEQUENCER = ModuleDef(
     init_state=_pat_init_state,
     step=_pat_step,
     block=_pat_block,
+    derive=_pat_derive,
 )

@@ -33,14 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import sample_gather
-from .sample_gather import G, LANES, T_CH, WA, WB
+from .sample_gather import G, LANES, NBLK, T_CH, WA, WB, _ceil_to
 
-NBLK = T_CH // LANES
 BIG = 2 ** 30
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _shift(x, s, fill):
