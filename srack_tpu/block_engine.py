@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from .config import AudioConfig
 from .modules.base import CV_DTYPE
-from .ops import serial_kernel
+from .ops import fused, serial_kernel
 
 # module types the block engine runs per-sample in the serial stage.
 # Moog's ladder recurrence has no parallel-prefix form.  ADSR *does* have
@@ -55,12 +55,10 @@ from .ops import serial_kernel
 # segment-parallel.
 SERIAL_TYPES = frozenset({"Moog Filter", "ADSR"})
 
-# serial-stage types safe for the Pallas kernel (pure register math)
-PALLAS_SAFE = frozenset({
-    "Oscillator", "Noise", "Input", "Moog Filter", "ADSR", "VCA",
-    "Mono Mixer", "Add", "Subtract", "Multiply", "Non-Linear", "Output",
-    "Grid Sequencer", "Pattern Sequencer",
-})
+# serial-stage types safe for the Pallas kernel: exactly the fused
+# engine's "pure register math" set -- one definition so a new
+# register-friendly type changes eligibility for both paths in lockstep.
+PALLAS_SAFE = fused.REGISTER_TYPES
 
 
 def _sccs(nodes, deps):
@@ -302,8 +300,10 @@ class BlockProgram:
             # the block engine is never differentiated (grad_render_fn
             # routes to fused_vjp or scan), so gradient-only step ops are
             # elided (bit-identical primal; ModuleDef.step_nograd)
+            # ``("x", mid)``: this sample's hoisted make_xs / driver lane
+            # value, streamed in like the scan engine's x_t.get(mid)
             new_state, outs = (mdef.step_nograd or mdef.step)(
-                cfg, statics, pd, states[mid], ins, None)
+                cfg, statics, pd, states[mid], ins, values.get(("x", mid)))
             new_states[mid] = new_state
             for p, o in enumerate(outs):
                 values[(mid, p)] = o
@@ -333,7 +333,6 @@ class BlockProgram:
         cfg = self.cfg
         n_channels = cfg.channels
         stage_has_output = compiled.output_id in self.stage_set
-        fb_keys = tuple(sorted(compiled.fb_keys))
         stage_out_keys = list(self.stage_out)
         if stage_has_output:
             raise NotImplementedError(
@@ -361,12 +360,18 @@ class BlockProgram:
             probes = {w: values[w] for w in self.probe_wires if w in values}
             return new_states, channels, probes
 
-        use_pallas = (self.pallas_ok and self.stage_plan
+        # the Pallas serial kernel carries state in VMEM and requires at
+        # least one carry leaf; an all-stateless stage (e.g. an automated
+        # Noise) with no feedback lanes falls back to the lax.scan path
+        stage_has_carry = bool(compiled.fb_keys) or any(
+            jax.tree.leaves(
+                compiled.instances[m][0].init_state(
+                    cfg, compiled.instances[m][1]))
+            for m in self.stage_plan)
+        use_pallas = (self.pallas_ok and self.stage_plan and stage_has_carry
                       and jax.default_backend() == "tpu")
 
         if self.stage_plan:
-            stage_params_ids = list(self.stage_plan)
-
             def kernel_step(k_params, k_state, ins_dict):
                 ext = {eval_key(k): v for k, v in ins_dict.items()}
                 new_states, fb_out, outs, _ = self._stage_step(
@@ -381,6 +386,8 @@ class BlockProgram:
                 if s.startswith("auto:"):
                     mid, p = s[5:].rsplit("~", 1)
                     return ("auto", mid, p)
+                if s.startswith("x:"):
+                    return ("x", s[2:])
                 mid, port = s.rsplit("#", 1)
                 return (mid, int(port))
 
@@ -426,6 +433,11 @@ class BlockProgram:
             for (mid_a, p_a) in self.stage_autos:
                 ins_lanes[f"auto:{mid_a}~{p_a}"] = (
                     xs[compiled._auto_key(mid_a, p_a)])
+            # hoisted make_xs / driver lanes of stage modules stream in per
+            # sample (the scan/fused engines deliver these as x_t[mid])
+            for mid_x in self.stage_plan:
+                if mid_x in xs:
+                    ins_lanes[f"x:{mid_x}"] = xs[mid_x]
 
             if use_pallas:
                 kern = serial_kernel.make_serial_kernel(
@@ -508,6 +520,8 @@ class BlockProgram:
             if s.startswith("auto:"):
                 mid, p = s[5:].rsplit("~", 1)
                 return ("auto", mid, p)
+            if s.startswith("x:"):
+                return ("x", s[2:])
             fbp = s.startswith("fb:")
             if fbp:
                 s = s[3:]
@@ -528,7 +542,14 @@ class BlockProgram:
             probes = {w: values[w] for w in self.probe_wires if w in values}
             return new_states, channels, probes, values
 
-        use_pallas = (self.pallas_ok and self.stage_plan
+        # buffer mode's stage carry is module states only (fb lanes stream
+        # in as per-sample inputs); all-stateless stages take the scan path
+        stage_has_carry = any(
+            jax.tree.leaves(
+                compiled.instances[m][0].init_state(
+                    cfg, compiled.instances[m][1]))
+            for m in self.stage_plan)
+        use_pallas = (self.pallas_ok and self.stage_plan and stage_has_carry
                       and jax.default_backend() == "tpu")
         kern = None
         if self.stage_plan:
@@ -561,6 +582,9 @@ class BlockProgram:
                 for (mid_a, p_a) in self.stage_autos:
                     ins_lanes[f"auto:{mid_a}~{p_a}"] = (
                         xs_b[compiled._auto_key(mid_a, p_a)])
+                for mid_x in self.stage_plan:
+                    if mid_x in xs_b:
+                        ins_lanes[f"x:{mid_x}"] = xs_b[mid_x]
                 if use_pallas:
                     out_lanes, stage_final = kern(
                         stage_params, stage_state, ins_lanes)

@@ -347,11 +347,6 @@ class CompiledPatch:
                 else:
                     fn = jax.jit(fused.make_fused_render(self, n))
             elif engine == "block":
-                from . import block_engine
-                if not block_engine.eligible(self):
-                    raise ValueError(
-                        "patch not eligible for the block engine "
-                        "(buffer_feedback and probes need engine='scan')")
                 run_b = self.block_program().make_run(n)
                 if batched:
                     fn = jax.jit(run_b)

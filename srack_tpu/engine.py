@@ -84,9 +84,11 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
     elif isinstance(key, int):
         key = jax.random.PRNGKey(key)
 
-    def lane_block(arr, i):
+    def lane_block(arr, start, block):
+        # ``start`` is the stream's consumed-sample cursor, NOT i * block:
+        # a live ``set_audio_config`` block-size change mid-stream must
+        # continue the lanes where they left off, not replay/skip samples.
         arr = jnp.asarray(arr)
-        start = i * block
         if start + block <= arr.shape[-1]:
             return arr[..., start:start + block]
         tail = arr[..., start:] if start < arr.shape[-1] else arr[..., -1:]
@@ -95,6 +97,7 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
         return jnp.concatenate([tail, hold], axis=-1)
 
     i = 0
+    consumed = 0
     while n_blocks is None or i < n_blocks:
         if patch.topology_key() != compiled.topology_key:
             # live topology edit: re-plan (compile cache keyed by topology)
@@ -109,12 +112,14 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
         elif not pinned_params:
             params = patch.params()  # live slider edits, no recompile
         key, sub = jax.random.split(key)
-        autos_b = ({k: lane_block(v, i) for k, v in automation.items()}
+        autos_b = ({k: lane_block(v, consumed, block)
+                    for k, v in automation.items()}
                    if automation else None)
         audio, probe_vals, state = compiled.render(
             block, params=params, state=state, key=sub,
             automation=autos_b)
         yield audio, probe_vals, state
+        consumed += block
         i += 1
 
 

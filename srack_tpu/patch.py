@@ -77,6 +77,8 @@ class Patch:
         if type_name not in CATALOG:
             raise KeyError(
                 f"unknown module type {type_name!r}; catalog: {sorted(CATALOG)}")
+        if type_name == "Output" and self.output is not None:
+            raise ValueError("patch already has an Output module")
         mdef = CATALOG[type_name]
         statics, params = mdef.make(self.config, **kwargs)
         mid = f"m{self._counter}"
@@ -88,8 +90,6 @@ class Patch:
         self._modules[mid] = inst
         handle = ModuleHandle(mid, type_name)
         if type_name == "Output":
-            if self.output is not None:
-                raise ValueError("patch already has an Output module")
             self.output = handle
         return handle
 
@@ -205,9 +205,17 @@ class Patch:
     def topology_key(self) -> tuple:
         """Hashable key identifying the *compiled program*: module types,
         statics and wiring (but not params).  Patches with equal keys share
-        a compiled executable (SURVEY.md §7 hard part e)."""
+        a compiled executable (SURVEY.md §7 hard part e).
+
+        The key carries ``id(mdef)`` alongside the type name so a custom
+        type re-registered via ``modules.register(..., replace=True)`` (or
+        unregister + register) compiles fresh instead of hitting a cache
+        entry built from the old implementation.  ``id`` is safe here: any
+        cached CompiledPatch keeps its instances' ModuleDef objects alive,
+        so a *different* def can never be allocated at a cached def's id.
+        """
         mods = tuple(
-            (mid, inst.mdef.type_name, inst.statics,
+            (mid, inst.mdef.type_name, id(inst.mdef), inst.statics,
              tuple(inst.inputs[i] for i in range(len(inst.inputs))))
             for mid, inst in self._modules.items()
         )

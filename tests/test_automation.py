@@ -239,3 +239,47 @@ def test_batched_shared_lane():
     assert audio.shape == (3, 1, N)
     np.testing.assert_array_equal(np.asarray(audio[0]),
                                   np.asarray(audio[2]))
+
+
+def test_noise_automation_joins_serial_stage_with_lane():
+    """Automating a param of a make_xs module (Noise) forces it into the
+    serial stage; its hoisted noise lane must stream in per sample instead
+    of silently becoming x=None (regression)."""
+    p = st.Patch(CFG)
+    nz = p.add("Noise")
+    p.connect(nz, 0, p.output, 0)
+    lane = jnp.zeros((N,), jnp.float32)
+    auto = {(nz, "seed"): lane}
+    compiled = compile_patch(p, automation=tuple(auto))
+    prog = compiled.block_program()
+    assert nz.id in prog.stage_set
+    a_s, _, _ = st.render(p, N, key=3, automation=auto, engine="scan")
+    a_b, _, _ = st.render(p, N, key=3, automation=auto, engine="block")
+    assert float(np.abs(np.asarray(a_s)).max()) > 0.1
+    np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_s),
+                               atol=1e-6, rtol=0)
+
+
+def test_stream_automation_survives_block_size_change():
+    """A live set_audio_config block-size change mid-stream continues the
+    automation lanes at the consumed-sample cursor (no replay/skip)."""
+    cfg = st.AudioConfig(sample_rate=8000, block_size=64, channels=1,
+                         precision="fast")
+    p = st.Patch(cfg)
+    add = p.add("Add", constant=0.0)  # out = In1(0) + constant = the lane
+    p.connect(add, 0, p.output, 0)
+    n = 64 * 2 + 32 * 2
+    lane = jnp.arange(n, dtype=jnp.float32) / n
+    stream = st.render_stream(p, automation={(add, "constant"): lane})
+    got = []
+    for i, (audio, _, _) in enumerate(stream):
+        got.append(np.asarray(audio)[0])
+        if i == 1:  # after two 64-sample blocks, shrink the block size
+            p.set_audio_config(st.AudioConfig(
+                sample_rate=8000, block_size=32, channels=1,
+                precision="fast"))
+            p.connect(add, 0, p.output, 0)  # set_audio_config resets Output
+        if sum(map(len, got)) >= n:
+            break
+    np.testing.assert_allclose(np.concatenate(got), np.asarray(lane),
+                               atol=1e-6, rtol=0)

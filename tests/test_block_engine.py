@@ -218,3 +218,11 @@ def test_freeverb_block_partial_chunk_state_carry():
             pos += sz
         np.testing.assert_allclose(np.concatenate(got), ref,
                                    atol=1e-12, rtol=0)
+
+
+def test_pallas_safe_is_the_fused_register_set():
+    """One shared eligibility set: the serial stage's Pallas-safe types are
+    exactly the fused engine's register-math types (drift regression)."""
+    from srack_tpu import block_engine
+    from srack_tpu.ops import fused
+    assert block_engine.PALLAS_SAFE is fused.REGISTER_TYPES

@@ -213,3 +213,91 @@ def test_patchfile_unknown_type_message(slew):
             st.io.patchfile.load_patch(text)
     finally:
         st.register_module(_slew_def(register_safe=True))
+
+
+# -- re-registration & the compile cache -------------------------------------
+
+def test_reregister_compiles_fresh():
+    """register(replace=True) must not hit a compile-cache entry built from
+    the old implementation (topology_key carries the ModuleDef identity)."""
+    def gain_def(scale):
+        def _step(cfg, statics, params, state, ins, x=None):
+            return state, ((in_or(ins[0], 0.0) * scale).astype(CV_DTYPE),)
+        nin, inlabels = const_ports(1, ("In",))
+        nout, outlabels = const_ports(1, (None,))
+        return ModuleDef(
+            type_name="Gain Probe", make=lambda cfg: (("gp",), {}),
+            num_inputs=nin, num_outputs=nout, input_labels=inlabels,
+            output_labels=outlabels, init_state=lambda cfg, s: {},
+            step=_step)
+
+    def build():
+        cfg = st.AudioConfig(precision="exact", **CFG_KW)
+        p = st.Patch(cfg)
+        drv = p.add("Input")
+        g = p.add("Gain Probe")
+        p.connect(drv, 0, g, "In")
+        p.connect(g, 0, p.output, 0)
+        return p, drv
+
+    st.register_module(gain_def(1.0))
+    try:
+        n = 64
+        x = np.ones(n, np.float32)
+        p1, d1 = build()
+        a1, _, _ = st.render(p1, n, drivers={d1: x}, engine="scan")
+        np.testing.assert_allclose(np.asarray(a1)[0], x, atol=0)
+
+        st.register_module(gain_def(2.0), replace=True)
+        p2, d2 = build()
+        a2, _, _ = st.render(p2, n, drivers={d2: x}, engine="scan")
+        np.testing.assert_allclose(np.asarray(a2)[0], 2.0 * x, atol=0)
+    finally:
+        st.unregister_module("Gain Probe")
+
+
+# -- make_xs lanes through the block engine's serial stage --------------------
+
+def _leaky_def():
+    """Stateful custom module with a make_xs lane and no block impl: the
+    block engine forces it into the serial stage, which must stream the
+    hoisted lane per sample exactly as the scan engine's x_t.get(mid)."""
+    def _make(cfg, gain: float = 1.0):
+        return ("leaky",), {"gain": cv(gain)}
+
+    def _init_state(cfg, statics):
+        return {"acc": jnp.zeros((), dtype=CV_DTYPE)}
+
+    def _make_xs(cfg, statics, params, key, n):
+        return jax.random.uniform(key, (n,), dtype=CV_DTYPE) - 0.5
+
+    def _step(cfg, statics, params, state, ins, x=None):
+        acc = 0.9 * state["acc"] + params["gain"] * x
+        return {"acc": acc}, (acc.astype(CV_DTYPE),)
+
+    nin, inlabels = const_ports(0, ())
+    nout, outlabels = const_ports(1, (None,))
+    return ModuleDef(
+        type_name="Leaky Noise", make=_make, num_inputs=nin,
+        num_outputs=nout, input_labels=inlabels, output_labels=outlabels,
+        init_state=_init_state, step=_step, make_xs=_make_xs)
+
+
+def test_serial_stage_streams_make_xs_lanes():
+    st.register_module(_leaky_def())
+    try:
+        cfg = st.AudioConfig(precision="exact", **CFG_KW)
+        p = st.Patch(cfg)
+        lk = p.add("Leaky Noise")
+        p.connect(lk, 0, p.output, 0)
+        compiled = st.compile_patch(p)
+        prog = compiled.block_program()
+        assert lk.id in prog.stage_set  # stateful, no block impl
+        n = 256
+        a_s, _, _ = st.render(p, n, key=7, engine="scan")
+        a_b, _, _ = st.render(p, n, key=7, engine="block")
+        assert float(np.abs(np.asarray(a_s)).max()) > 1e-3  # lane is live
+        np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_s),
+                                   atol=1e-6, rtol=0)
+    finally:
+        st.unregister_module("Leaky Noise")

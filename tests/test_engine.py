@@ -198,3 +198,14 @@ def test_render_long_matches_single_render():
     long_audio, final = st.render_long(q, n, segment=128)
     np.testing.assert_allclose(long_audio, np.asarray(full), atol=1e-6,
                                rtol=0)
+
+
+def test_second_output_add_fails_cleanly():
+    """A failed add('Output') must not leave an orphan module behind."""
+    import pytest
+    p = st.Patch(CFG)
+    before = len(list(p))
+    with pytest.raises(ValueError, match="already has an Output"):
+        p.add("Output")
+    assert len(list(p)) == before
+    assert [i.mdef.type_name for i in p].count("Output") == 1
