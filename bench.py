@@ -141,37 +141,41 @@ def main() -> None:
         except Exception as e:
             log(f"[headline n={n_try}] failed: {e!r}")
 
-    # secondary configs (stderr only); failures must not kill the headline
-    for name, patch, n, v in (
-        ("sine x1024 x10s", sine_patch(cfg), 480000, 1024),
+    # secondary configs (stderr only); failures must not kill the headline.
+    # Each config starts at a 30 s render (same transport amortization as
+    # the headline: the ~28 ms/call dispatch+fetch is fixed, so longer
+    # renders measure the engine, not the tunnel) and degrades to shorter
+    # ns if the block-engine intermediates OOM HBM at that length.
+    for name, patch, ns, v in (
+        ("sine x1024", sine_patch(cfg), (1440000, 480000), 1024),
         # 2 s renders halve the transport fraction (the 1 s farm was 45%
         # fixed dispatch+fetch); [16384, 1, 96000] f32 output = 6.3 GB HBM
-        ("farm x16384 x2s", subtractive_voice(cfg), 96000, 16384),
-        # 10 s renders amortize the ~28 ms transport (the patch itself is
-        # fully serial, so compute is only ~90 cycles/sample)
-        ("feedback x1024 x10s", feedback_patch(cfg), 480000, 1024),
-        # sequencers are register-safe select chains -> fused engine; long
-        # render amortizes the ~28 ms/call transport like the headline
-        ("sequencer x1024 x10s (fused)", sequencer_patch(cfg), 480000, 1024),
-        # sample playback keeps this on the block engine (waveform reads);
-        # 10 s renders amortize the ~28 ms transport like the headline
-        ("drums x1024 x10s (block engine)", drum_machine(cfg), 480000, 1024),
+        ("farm x16384", subtractive_voice(cfg), (96000,), 16384),
+        # the patch is fully serial (cross-FM + filter feedback), so
+        # compute is only ~90 cycles/sample
+        ("feedback x1024", feedback_patch(cfg), (1440000, 480000), 1024),
+        # sequencers are register-safe select chains -> fused engine
+        ("sequencer x1024 (fused)", sequencer_patch(cfg),
+         (1440000, 480000), 1024),
+        # sample playback keeps this on the block engine (waveform reads)
+        ("drums x1024 (block engine)", drum_machine(cfg),
+         (1440000, 480000), 1024),
         # real-length samples: three 48,000-frame waveforms through the
         # fused position+windowed-gather kernel pair (ops/sample_kernel +
-        # ops/sample_gather); 10 s renders amortize the ~28 ms transport
-        # (device rate ~1.18 G; measured 1.11 G incl. transport at 10 s
-        # vs 0.88 G at 2 s, scripts/time_sampler10.py)
-        ("sampler x1024 x10s (48k-frame samples)", sampler_kit(cfg),
-         480000, 1024),
+        # ops/sample_gather)
+        ("sampler x1024 (48k-frame samples)", sampler_kit(cfg),
+         (1440000, 480000), 1024),
         # Freeverb's 12 delay lines per channel: whole-Freeverb VMEM kernel
-        # + in-VMEM ring canonicalization (ops/ring_roll); 10 s renders
-        # amortize the ~28 ms transport like the headline
-        ("reverb x1024 x10s (block engine)", reverb_patch(cfg), 480000, 1024),
+        # + in-VMEM ring canonicalization (ops/ring_roll)
+        ("reverb x1024 (block engine)", reverb_patch(cfg),
+         (1440000, 480000), 1024),
     ):
-        try:
-            bench_config(name, patch, n, v)
-        except Exception as e:
-            log(f"[{name}] failed: {e!r}")
+        for n_try in ns:
+            try:
+                bench_config(f"{name} x{n_try // 48000}s", patch, n_try, v)
+                break
+            except Exception as e:
+                log(f"[{name} n={n_try}] failed: {e!r}")
 
     # training-step benchmark (stderr): Pallas fwd+bwd gradient step
     try:
