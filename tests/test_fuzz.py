@@ -137,6 +137,36 @@ def test_fuzz_fused_odd_n_matches_scan(seed, n):
         s_scan, s_fus)
 
 
+def test_fuzz_nonlinear_inf_parity():
+    """Signed pow can legitimately produce inf (0^negative — the reference's
+    `0.0f32.powf(-b)` is inf too, math.rs:202-206): engines and oracle must
+    agree on the non-finite samples, not hide them.  Seed 213 wires
+    Non-Linear's exponent input to its own output (feedback), driving the
+    exponent negative while In1 stays unconnected (0.0)."""
+    p = random_patch(213)
+    n, v = 160, 2
+    compiled = st.compile_patch(p)
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(213), v)
+    a_scan, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                   batched=True, engine="scan")
+    a_blk, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                  batched=True, engine="block")
+    a_scan, a_blk = np.asarray(a_scan), np.asarray(a_blk)
+    assert (~np.isfinite(a_scan)).sum() > 0  # the seed exercises the edge
+    assert ((~np.isfinite(a_scan)) == (~np.isfinite(a_blk))).all()
+    assert np.allclose(a_blk, a_scan, atol=3e-4, equal_nan=True)
+
+    # oracle agreement on the buffer-mode variant of the same seed
+    p2 = random_patch(213, buffer_feedback=True)
+    got, _, _ = st.render(p2, 128, engine="scan")
+    want = oracle_render(p2, 128)
+    assert (~np.isfinite(want)).sum() > 0
+    assert np.allclose(np.asarray(got), want, atol=3e-4, equal_nan=True)
+
+
 def test_noise_path_matches_oracle_with_injected_lanes():
     """Noise itself is excluded from sample-exact comparison (the reference
     RNG is non-reproducible), but the *processing* of noise is testable:
