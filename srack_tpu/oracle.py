@@ -302,13 +302,18 @@ class _NonLinear(_Module):
         i2 = self.resolve(modules, 1)
         const = _f32(self.p("constant"))
         out = self.bufs[0]
-        for i in range(self.cfg.block_size):
-            a = i1[i] if i1 is not None else _f32(0.0)
-            b = i2[i] if i2 is not None else const
-            if a > 0.0:
-                out[i] = _f32(a) ** _f32(b)
-            else:
-                out[i] = -((-_f32(a)) ** _f32(b))
+        # 0^negative legitimately overflows to inf (the reference's
+        # 0.0f32.powf(-b) does too, math.rs:202-206); silence the numpy
+        # warning — the inf itself is the correct, engine-matching output
+        # (tests/test_fuzz.py::test_fuzz_nonlinear_inf_parity)
+        with np.errstate(divide="ignore"):
+            for i in range(self.cfg.block_size):
+                a = i1[i] if i1 is not None else _f32(0.0)
+                b = i2[i] if i2 is not None else const
+                if a > 0.0:
+                    out[i] = _f32(a) ** _f32(b)
+                else:
+                    out[i] = -((-_f32(a)) ** _f32(b))
 
 
 class _GridSeq(_Module):
