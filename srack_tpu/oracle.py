@@ -54,7 +54,17 @@ class _Module:
         if conn is None:
             return None
         src, sport = conn
-        return modules[src].bufs[sport]
+        buf = modules[src].bufs[sport]
+        # Self-edge (a 1-cycle): snapshot the previous block's content so
+        # in-place writes during this calc can't alias the read.  The
+        # reference cannot express this case at all -- a self-wired module
+        # deadlocks its buffer RwLock (read + write of the same lock,
+        # mixer.rs:102-120) -- so the framework defines the semantics as
+        # ordinary feedback: the broken edge reads the previous block,
+        # exactly like any other cycle (synth.rs:168-192).
+        if any(buf is b for b in self.bufs):
+            return buf.copy()
+        return buf
 
     def p(self, name):
         return np.asarray(self.inst.params[name])
@@ -268,10 +278,14 @@ class _VCA(_Module):
 class _Mixer(_Module):
     def calc(self, modules):
         out = self.bufs[0]
-        out[:] = 0.0
         gains = self.p("gain")
-        for idx in range(len(self.inst.inputs)):
-            buf = self.resolve(modules, idx)
+        # resolve every input BEFORE writing: a self-edge resolves to a
+        # snapshot of the previous block (see resolve), and must not see
+        # this block's partial sums
+        bufs = [self.resolve(modules, idx)
+                for idx in range(len(self.inst.inputs))]
+        out[:] = 0.0
+        for idx, buf in enumerate(bufs):
             if buf is None:
                 continue
             for i in range(self.cfg.block_size):

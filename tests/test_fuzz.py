@@ -167,6 +167,36 @@ def test_fuzz_nonlinear_inf_parity():
     assert np.allclose(np.asarray(got), want, atol=3e-4, equal_nan=True)
 
 
+def test_fuzz_self_edge_mixer_matches_oracle():
+    """Fuzz seed 307: a Mono Mixer wired to ITSELF while another input is
+    live.  The reference cannot run this patch at all (a self-edge
+    deadlocks the buffer RwLock, mixer.rs:102-120), so the framework
+    defines the semantics: a self-edge is a 1-cycle and reads the previous
+    block (buffer mode) / sample like any broken feedback edge.  The
+    oracle's input-major accumulation used to alias its own output buffer
+    here and doubled the self-term."""
+    p = random_patch(307, buffer_feedback=True)
+    n = 128
+    got, _, _ = st.render(p, n, engine="scan")
+    want = oracle_render(p, n)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=0)
+
+    # minimal form: out = in + self, previous-block self term
+    cfg = st.AudioConfig(sample_rate=4800, block_size=4, channels=1,
+                         precision="exact", buffer_feedback=True)
+    q = st.Patch(cfg)
+    const = q.add("Add", constant=1.0)      # both inputs open -> 0 + 1.0
+    mix = q.add("Mono Mixer")
+    q.connect(const, 0, mix, 0)
+    q.connect(mix, 0, mix, 1)               # self-edge
+    q.connect(mix, 0, q.output, 0)
+    audio, _, _ = st.render(q, 12, engine="scan")
+    # block b outputs 1 + (previous block's value): 1, 2, 3, ...
+    expect = np.repeat(np.arange(1.0, 4.0), 4)[None, :]
+    np.testing.assert_allclose(np.asarray(audio), expect, atol=1e-6)
+    np.testing.assert_allclose(oracle_render(q, 12), expect, atol=1e-6)
+
+
 def test_noise_path_matches_oracle_with_injected_lanes():
     """Noise itself is excluded from sample-exact comparison (the reference
     RNG is non-reproducible), but the *processing* of noise is testable:
