@@ -200,3 +200,44 @@ def test_rewire_same_modules_keeps_state():
     want, _, _ = cr.render(CFG.block_size, state=s1)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(want),
                                atol=1e-9, rtol=0)
+
+
+def test_fuzz_offpath_edits_do_not_change_audio():
+    """Randomized invariant: mid-stream edits OUTSIDE the audible path —
+    adding modules, wiring them to each other, tapping existing wires into
+    them, then deleting them — must leave the stream bit-identical to the
+    unedited offline render (every surviving module's state migrates, the
+    program recompiles, the audio cannot know)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_fuzz import random_patch
+
+    for seed in (0, 17, 307):
+        p = random_patch(seed)
+        n_blocks = 6
+        block = p.config.block_size
+        want, _, _ = st.render(p, block * n_blocks, engine="scan")
+
+        stream = st.render_stream(p, n_blocks=n_blocks)
+        chunks = [np.asarray(next(stream)[0]) for _ in range(2)]
+        # off-path edit 1: a stateful module tapping an existing wire
+        tap_src = next(
+            mid for mid, inst in p._modules.items()
+            if inst.mdef.num_outputs(p.config, inst.statics) > 0)
+        flt = p.add("Moog Filter", freq=0.4, res=0.3)
+        p.connect(tap_src, 0, flt, "Audio")
+        chunks.append(np.asarray(next(stream)[0]))
+        # off-path edit 2: chain another module off the first
+        vca = p.add("VCA")
+        p.connect(flt, 0, vca, "Audio")
+        p.connect(flt, 1, vca, "CV")
+        chunks.append(np.asarray(next(stream)[0]))
+        # off-path edit 3: delete the whole dangling branch again
+        p.delete_module(vca)
+        p.delete_module(flt)
+        chunks += [np.asarray(a) for a, _, _ in stream]
+        got = np.concatenate(chunks, axis=1)
+        np.testing.assert_allclose(
+            got, np.asarray(want), atol=0, rtol=0,
+            err_msg=f"off-path live edits changed audio (seed {seed})")
