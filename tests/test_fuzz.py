@@ -60,6 +60,13 @@ def random_patch(seed: int, buffer_feedback=False, precision="exact",
             pat = [[rng.choice([None, True, False])
                     for _ in range(n_steps)] for _ in range(8)]
             kwargs = dict(pattern=pat, n_steps=n_steps)
+        elif t == "Noise":
+            kwargs = dict(seed=rng.randint(0, 99))
+        elif t == "Sample":
+            frames = rng.randint(16, 2048)  # crosses the 1024 kernel split
+            kwargs = dict(
+                samples=[rng.uniform(-1, 1) for _ in range(frames)],
+                wav_sample_rate=rng.choice([2400, 4800, 9600]))
         mods.append(p.add(t, **kwargs))
     # random wiring (40% density), including potential cycles
     for sink in mods + [p.output]:
@@ -135,6 +142,30 @@ def test_fuzz_fused_odd_n_matches_scan(seed, n):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(b, np.float64), np.asarray(a, np.float64), atol=2e-5),
         s_scan, s_fus)
+
+
+@pytest.mark.parametrize("seed", range(40, 46))
+def test_fuzz_samples_and_noise_block_matches_scan(seed):
+    """Random graphs INCLUDING Sample players (16..2048-frame tables,
+    mismatched WAV rates) and Noise: the block engine's gather/lane paths
+    must match scan.  Noise is deterministic here (keyed threefry hoisted
+    identically by both engines), so comparisons stay exact."""
+    p = random_patch(seed, types=FUZZ_TYPES + ["Sample", "Noise"])
+    n, v = 160, 2
+    compiled = st.compile_patch(p)
+    params = st.replicate_params(compiled.default_params, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(seed), v)
+    a_scan, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                   batched=True, engine="scan")
+    a_blk, _, _ = compiled.render(n, params=params, state=state, key=keys,
+                                  batched=True, engine="block")
+    a_scan, a_blk = np.asarray(a_scan), np.asarray(a_blk)
+    assert ((~np.isfinite(a_scan)) == (~np.isfinite(a_blk))).all()
+    np.testing.assert_allclose(np.where(np.isfinite(a_blk), a_blk, 0.0),
+                               np.where(np.isfinite(a_scan), a_scan, 0.0),
+                               atol=3e-4, rtol=0)
 
 
 def test_fuzz_nonlinear_inf_parity():
