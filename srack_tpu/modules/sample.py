@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
-                         forward_fill, table_lookup, transition,
+                         monotone_fill, table_lookup, transition,
                          transition_init)
 
 # Waveform reads in the block path: the fused whole-Sample kernel
@@ -107,12 +107,17 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     (_, max_len) = statics
     lane = state["pos"].shape
     gate = block_lane(ins[0], lane, n)
-    cv_in = block_lane(ins[1], lane, n)
+    # unconnected CV input = constant per-voice rate: the position prefix
+    # sum collapses to ``base * arange(n)`` (no scan; mirrored exactly by
+    # the fused kernel's constant-rate path)
+    cv_const = ins[1] is None
+    cv_in = None if cv_const else block_lane(ins[1], lane, n)
 
     if sample_kernel.eligible(params["samples"], gate, n):
         base_rate = params["wav_sr"] / cfg.sample_rate
         out, pos_end, playing_end, g_last = sample_kernel.play_table(
-            gate, cv_in.astype(jnp.float32), params["samples"], base_rate,
+            gate, None if cv_const else cv_in.astype(jnp.float32),
+            params["samples"], base_rate,
             state["pos"], state["playing"], state["gate_last"],
             params["length"])
         new_state = {"pos": pos_end.astype(CV_DTYPE),
@@ -122,14 +127,22 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     gate_last, trig = block_transitions(state["gate_last"], gate)
 
     length_f = params["length"].astype(CV_DTYPE)
-    rate = (params["wav_sr"] / cfg.sample_rate) * jnp.exp2(cv_in)
-    cum_incl = fast_cumsum(rate, axis=0)
-    cum_excl = cum_incl - rate
+    base = (params["wav_sr"] / cfg.sample_rate).astype(CV_DTYPE)
+    if cv_const:
+        rate_last = base
+        cum_excl = base * jnp.arange(n, dtype=CV_DTYPE)
+    else:
+        rate = base * jnp.exp2(cv_in)
+        rate_last = rate[-1]
+        cum_excl = fast_cumsum(rate, axis=0) - rate
 
-    cum_at_trig, has_trig = forward_fill(cum_excl, trig, axis=0)
+    # last-trigger fill of cum_excl = running MAX of cum_excl at triggers
+    # (rates are non-negative so cum_excl is non-decreasing; max is exact
+    # and order-free, so any chunking matches the fused kernel bit-for-bit)
+    filled, has_trig = monotone_fill(cum_excl, trig, axis=0)
     carry_pos = jnp.where(state["playing"], cum_excl + state["pos"],
                           state["pos"])
-    s = jnp.where(has_trig, cum_excl - cum_at_trig, carry_pos)
+    s = jnp.where(has_trig, cum_excl - filled, carry_pos)
     crossed = s >= length_f  # monotone within a segment (rate > 0)
 
     idx = jnp.clip(s.astype(jnp.int32), 0, max_len - 1)
@@ -146,7 +159,7 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     active_last = jnp.where(has_trig[-1], True, state["playing"])
     playing_end = jnp.logical_and(active_last,
                                   jnp.logical_not(crossed[-1]))
-    pos_end = jnp.where(playing_end, s[-1] + rate[-1],
+    pos_end = jnp.where(playing_end, s[-1] + rate_last,
                         jnp.where(crossed[-1], 0.0, state["pos"]))
     new_state = {"pos": pos_end.astype(CV_DTYPE), "playing": playing_end,
                  "gate_last": gate_last}

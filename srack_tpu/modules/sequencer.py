@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
-                         forward_fill, table_lookup, transition,
-                         transition_init)
+                         forward_fill, monotone_fill, table_lookup,
+                         transition, transition_init)
 from .base import CV_DTYPE, ModuleDef, const_ports, cv, in_or
 
 MAX_STEPS = 64
@@ -129,8 +129,9 @@ def _advance_step_block(state, step_in, sync_in, n_steps, n):
     step_last, step_edges = block_transitions(state["step_last"], step_in)
     sync_last, sync_edges = block_transitions(state["sync_last"], sync_in)
     e_cum = fast_cumsum(step_edges.astype(jnp.int32), axis=0)  # inclusive
-    # edge count at the last sync reset (forward-fill, gather-free)
-    e_at_reset, has_reset = forward_fill(e_cum, sync_edges, axis=0)
+    # edge count at the last sync reset: e_cum is a non-decreasing count,
+    # so the fill is a running max (2 ops/pass, exact on int32)
+    e_at_reset, has_reset = monotone_fill(e_cum, sync_edges, axis=0)
     base = jnp.where(has_reset, e_cum - e_at_reset,
                      state["current_step"] + e_cum)
     cs = jnp.mod(base, n_steps)

@@ -140,6 +140,21 @@ def forward_fill(values, mask, axis: int = -1):
     return val, ok
 
 
+def monotone_fill(values, mask, axis: int = -1):
+    """:func:`forward_fill` for NON-DECREASING, NON-NEGATIVE ``values``.
+
+    The most recent masked entry of a non-decreasing sequence is the
+    running max of the masked entries, so the fill collapses to one
+    :func:`fast_cummax` over ``where(mask, values, -1)`` -- 2 ops per
+    log-doubling pass instead of forward_fill's 5, and exact/order-free
+    (max never reassociates).  Returns ``(filled, any_valid)``; positions
+    before the first masked entry hold ``-1``.
+    """
+    neg = jnp.asarray(-1, values.dtype)
+    filled = fast_cummax(jnp.where(mask, values, neg), axis=axis)
+    return filled, filled >= 0
+
+
 def forward_fill_multi(values: tuple, mask, axis: int = -1):
     """:func:`forward_fill` for several arrays sharing one mask.
 

@@ -50,6 +50,13 @@ WA = 5           # per-row window chunks (covers playback rates < ~2 over
                  # dynamic slab reads, so G blocks share one fetch)
 WB = 2           # table-head chunks (trigger restarts / end-of-sample)
 
+# tables at or under this many 128-frame chunks skip the windowed
+# machinery entirely: every chunk is matched statically (3 vector ops per
+# chunk per block), which beats the per-row dynamic slab reads that
+# dominate the windowed path (ops/sample_kernel skips computing window
+# summaries for these too)
+SMALL_CHUNKS = 12
+
 # per-row tables must fit VMEM alongside the idx/out tiles
 _VMEM_TABLE_BUDGET = 12 * 1024 * 1024
 
@@ -81,6 +88,24 @@ def eligible(table, idx) -> bool:
             and table.dtype == jnp.float32
             and _pick_rb(k) > 0
             and jax.default_backend() == "tpu")
+
+
+def _make_small_kernel(n_chunks: int, RB: int):
+    """Static whole-table gather for tables of <= SMALL_CHUNKS chunks:
+    every 128-frame chunk is a static sublane row matched against the
+    index high bits -- no per-row dynamic slabs, no residual loop."""
+    def kernel(tbl_ref, i_ref, o_ref):
+        for b in range(NBLK):
+            ix = i_ref[:, b * LANES:(b + 1) * LANES]
+            hi = jnp.right_shift(ix, 7)
+            lo = jnp.bitwise_and(ix, 127)
+            acc = jnp.zeros((RB, LANES), jnp.float32)
+            for c in range(n_chunks):
+                gth = jnp.take_along_axis(tbl_ref[:, c, :], lo, axis=1)
+                acc = jnp.where(hi == c, gth, acc)
+            o_ref[:, b * LANES:(b + 1) * LANES] = acc
+
+    return kernel
 
 
 def _make_kernel(n_chunks_padded: int, RB: int):
@@ -173,6 +198,30 @@ def _gather_precomputed(table, idx, basec, r0, r1, n, interpret):
     rp, np_ = idx.shape
     nb = np_ // LANES
     n_chunks = _ceil_to(k, LANES) // LANES
+
+    if n_chunks <= SMALL_CHUNKS:
+        tbl3d = jnp.pad(
+            table, ((0, rp - r), (0, n_chunks * LANES - k))
+        ).reshape(rp, n_chunks, LANES)
+        out = pl.pallas_call(
+            _make_small_kernel(n_chunks, RB),
+            grid=(rp // RB, np_ // T_CH),
+            in_specs=[
+                pl.BlockSpec((RB, n_chunks, LANES),
+                             lambda rr, tt: (rr, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RB, T_CH), lambda rr, tt: (rr, tt),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((RB, T_CH), lambda rr, tt: (rr, tt),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rp, np_), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(tbl3d, idx)
+        return out[:r, :n]
+
     tbl3d = jnp.pad(
         table, ((0, rp - r), (0, (n_chunks + WA) * LANES - k))
     ).reshape(rp, n_chunks + WA, LANES)

@@ -46,13 +46,27 @@ def _shift(x, s, fill):
     return jnp.concatenate([pad, x[:, : n - s]], axis=1)
 
 
-def _make_kernel(rb: int, n: int, k: int):
-    """Grid (rows/rb, n_pad/T_CH); per-row-tile carries in scratch."""
+def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
+    """Grid (rows/rb, n_pad/T_CH); per-row-tile carries in scratch.
+
+    ``cv_none``: the module's CV input is unconnected, so the rate is the
+    per-row constant ``base`` and the position prefix sum collapses to
+    ``base * global_iota`` (one fma instead of the log2(T_CH)-pass
+    Hillis-Steele sum; also drops the cv lane's HBM read).  Bit-exact with
+    the unfused path's ``base * arange(n)`` (elementwise multiply of the
+    same exactly-representable iota -- no summation order involved)."""
     t_last = (n - 1) // T_CH
     j_last = (n - 1) % T_CH
+    small = -(-k // LANES) <= sample_gather.SMALL_CHUNKS
 
-    def kernel(gate_ref, cv_ref, par_ref, idx_ref, basec_ref, umin_ref,
-               umax_ref, st_ref, c_cum, c_fill, c_ok, c_last):
+    def kernel(*refs):
+        if cv_none:
+            (gate_ref, par_ref, idx_ref, basec_ref, umin_ref,
+             umax_ref, st_ref, c_max, c_last) = refs
+            cv_ref = c_cum = None
+        else:
+            (gate_ref, cv_ref, par_ref, idx_ref, basec_ref, umin_ref,
+             umax_ref, st_ref, c_cum, c_max, c_last) = refs
         t = pl.program_id(1)
 
         # per-row params from SMEM
@@ -64,9 +78,9 @@ def _make_kernel(rb: int, n: int, k: int):
 
         @pl.when(t == 0)
         def _():
-            c_cum[...] = jnp.zeros(c_cum.shape, jnp.float32)
-            c_fill[...] = jnp.zeros(c_fill.shape, jnp.float32)
-            c_ok[...] = jnp.zeros(c_ok.shape, jnp.int32)
+            if not cv_none:
+                c_cum[...] = jnp.zeros(c_cum.shape, jnp.float32)
+            c_max[...] = jnp.full(c_max.shape, -1.0, jnp.float32)
             # carried TransitionDetector state (transition_init() is True
             # for a fresh render: a high gate at t=0 does not fire)
             c_last[...] = jnp.broadcast_to(
@@ -77,70 +91,87 @@ def _make_kernel(rb: int, n: int, k: int):
         prev = jnp.concatenate([c_last[:, :1], above[:, :-1]], axis=1)
         trig = above * (1 - prev)
 
-        rate = base * jnp.exp2(cv_ref[...])
+        if cv_none:
+            # constant per-row rate: the prefix sum IS base * global_iota
+            # (exact f32 iota up to 2^24 -- the f32 position breaks there
+            # in every path anyway)
+            rate = base
+            iota_g = (jax.lax.broadcasted_iota(jnp.int32, gate.shape, 1)
+                      + t * T_CH).astype(jnp.float32)
+            cum_ex = base * iota_g
+        else:
+            rate = base * jnp.exp2(cv_ref[...])
+            # inclusive prefix sum of rate (scan_kernel "sum" structure)
+            cum = rate
+            s = 1
+            while s < T_CH:
+                cum = cum + _shift(cum, s, 0.0)
+                s <<= 1
+            cum = cum + c_cum[:, :1]
+            cum_ex = cum - rate
 
-        # inclusive prefix sum of rate (scan_kernel "sum" structure)
-        cum = rate
+        # last-trigger fill of cum_ex = running MAX of cum_ex at triggers:
+        # rates are non-negative so cum_ex is non-decreasing, and max is
+        # exact/order-free, so this picks the identical value the
+        # forward-fill did in 2 ops/pass instead of 5 (cum_ex >= 0, so
+        # -1.0 is the "no trigger yet" identity)
+        m = jnp.where(trig != 0, cum_ex, -1.0)
         s = 1
         while s < T_CH:
-            cum = cum + _shift(cum, s, 0.0)
+            m = jnp.maximum(m, _shift(m, s, -1.0))
             s <<= 1
-        cum = cum + c_cum[:, :1]
-        cum_ex = cum - rate
+        m = jnp.maximum(m, c_max[:, :1])
+        htr = (m >= 0.0).astype(jnp.int32)
 
-        # forward-fill cum_ex at triggers (scan_kernel "fill" structure)
-        v = jnp.where(trig != 0, cum_ex, 0.0)
-        ok = trig
-        s = 1
-        while s < T_CH:
-            sv = _shift(v, s, 0.0)
-            so = _shift(ok, s, 0)
-            v = jnp.where(ok != 0, v, sv)
-            ok = ok | so
-            s <<= 1
-        cum_at = jnp.where(ok != 0, v, c_fill[:, :1])
-        htr = ok | c_ok[:, :1]
-
-        pos = jnp.where(htr != 0, cum_ex - cum_at,
+        pos = jnp.where(htr != 0, cum_ex - m,
                         jnp.where(play0 > 0.0, cum_ex + pos0, pos0))
         crossed = pos >= len_f
         idx = jnp.clip(pos.astype(jnp.int32), 0, k - 1)
         idx = jnp.where(crossed, 0, idx)
         idx_ref[...] = idx
 
-        # window-base / residual summaries for the table gather.  Each
-        # per-column-block scalar lands in lane b of a [rb, 128] tile
-        # (Mosaic VMEM blocks must be (8,128)-tileable -- a [rb, 16]
-        # output block is not); the cross-row tile reduction for the
-        # residual ranges happens in XLA on the [rp, nb] summaries.
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
-        basec_acc = jnp.zeros((rb, LANES), jnp.int32)
-        umin_acc = jnp.full((rb, LANES), BIG, jnp.int32)
-        umax_acc = jnp.full((rb, LANES), -1, jnp.int32)
-        for b in range(NBLK):
-            blk = idx[:, b * LANES:(b + 1) * LANES]
-            if b % G == 0:
-                base_pair = jnp.right_shift(blk[:, :1], 7)
-            basec_acc = jnp.where(lane_i == b, base_pair, basec_acc)
-            local = blk - (base_pair << 7)
-            covered = jnp.logical_or(
-                jnp.logical_and(local >= 0, local < WA * LANES),
-                blk < WB * LANES)
-            unc_min = jnp.min(jnp.where(covered, BIG, blk), axis=1,
-                              keepdims=True)
-            unc_max = jnp.max(jnp.where(covered, -1, blk), axis=1,
-                              keepdims=True)
-            umin_acc = jnp.where(lane_i == b, unc_min, umin_acc)
-            umax_acc = jnp.where(lane_i == b, unc_max, umax_acc)
-        basec_ref[...] = basec_acc
-        umin_ref[...] = umin_acc
-        umax_ref[...] = umax_acc
+        if small:
+            # small tables take the gather's static whole-table path --
+            # the window summaries are never read (write the cheapest
+            # well-defined values)
+            z = jnp.zeros((rb, LANES), jnp.int32)
+            basec_ref[...] = z
+            umin_ref[...] = z
+            umax_ref[...] = jnp.full((rb, LANES), -1, jnp.int32)
+        else:
+            # window-base / residual summaries for the table gather.  Each
+            # per-column-block scalar lands in lane b of a [rb, 128] tile
+            # (Mosaic VMEM blocks must be (8,128)-tileable -- a [rb, 16]
+            # output block is not); the cross-row tile reduction for the
+            # residual ranges happens in XLA on the [rp, nb] summaries.
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+            basec_acc = jnp.zeros((rb, LANES), jnp.int32)
+            umin_acc = jnp.full((rb, LANES), BIG, jnp.int32)
+            umax_acc = jnp.full((rb, LANES), -1, jnp.int32)
+            for b in range(NBLK):
+                blk = idx[:, b * LANES:(b + 1) * LANES]
+                if b % G == 0:
+                    base_pair = jnp.right_shift(blk[:, :1], 7)
+                basec_acc = jnp.where(lane_i == b, base_pair, basec_acc)
+                local = blk - (base_pair << 7)
+                covered = jnp.logical_or(
+                    jnp.logical_and(local >= 0, local < WA * LANES),
+                    blk < WB * LANES)
+                unc_min = jnp.min(jnp.where(covered, BIG, blk), axis=1,
+                                  keepdims=True)
+                unc_max = jnp.max(jnp.where(covered, -1, blk), axis=1,
+                                  keepdims=True)
+                umin_acc = jnp.where(lane_i == b, unc_min, umin_acc)
+                umax_acc = jnp.where(lane_i == b, unc_max, umax_acc)
+            basec_ref[...] = basec_acc
+            umin_ref[...] = umin_acc
+            umax_ref[...] = umax_acc
 
         # end-of-render state at the true last sample (n-1)
         @pl.when(t == t_last)
         def _():
             s_j = pos[:, j_last:j_last + 1]
-            rate_j = rate[:, j_last:j_last + 1]
+            rate_j = rate if cv_none else rate[:, j_last:j_last + 1]
             cross_j = crossed[:, j_last:j_last + 1]
             htr_j = htr[:, j_last:j_last + 1] != 0
             active = jnp.logical_or(htr_j, play0 > 0.0)
@@ -153,9 +184,9 @@ def _make_kernel(rb: int, n: int, k: int):
             st_ref[:, 2:3] = above[:, j_last:j_last + 1].astype(jnp.float32)
 
         # chunk carries
-        c_cum[...] = jnp.broadcast_to(cum[:, -1:], c_cum.shape)
-        c_fill[...] = jnp.broadcast_to(cum_at[:, -1:], c_fill.shape)
-        c_ok[...] = jnp.broadcast_to(htr[:, -1:], c_ok.shape)
+        if not cv_none:
+            c_cum[...] = jnp.broadcast_to(cum[:, -1:], c_cum.shape)
+        c_max[...] = jnp.broadcast_to(m[:, -1:], c_max.shape)
         c_last[...] = jnp.broadcast_to(above[:, -1:], c_last.shape)
 
     return kernel
@@ -166,10 +197,15 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
                     length, k, interpret):
     """[R, n] lanes + [R] per-row params -> padded kernel outputs.
 
+    ``cv`` may be ``None`` (unconnected CV input): the kernel takes the
+    constant-rate path (positions = base * iota, no prefix-sum passes, no
+    cv lane streamed from HBM).
+
     Returns (idx [rp, np], basec [rp, nb], r0 [rt, 1, nb], r1 [rt, 1, nb],
     pos_end [R], playing_end [R] bool, gate_last [R] bool) with
     rp/np/rt = the gather kernel's padding for table length ``k``."""
     r, n = gate.shape
+    cv_none = cv is None
     rb = sample_gather._pick_rb(k) or 8
     rp = _ceil_to(max(r, 1), rb)
     np_ = _ceil_to(n, T_CH)
@@ -179,7 +215,8 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
                        constant_values=fill)
 
     gate_p = padv(jnp.pad(gate, ((0, 0), (0, np_ - n))))
-    cv_p = padv(jnp.pad(cv, ((0, 0), (0, np_ - n))))
+    cv_p = (None if cv_none else
+            padv(jnp.pad(cv, ((0, 0), (0, np_ - n)))))
     par = padv(jnp.stack([
         base_rate.astype(jnp.float32),
         pos0.astype(jnp.float32),
@@ -193,10 +230,9 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
     lane = pl.BlockSpec((rb, T_CH), lambda rr, tt: (rr, tt),
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel(rb, n, k),
+        _make_kernel(rb, n, k, cv_none),
         grid=(rp // rb, np_ // T_CH),
-        in_specs=[
-            lane, lane,
+        in_specs=([lane] if cv_none else [lane, lane]) + [
             pl.BlockSpec((rb, 5), lambda rr, tt: (rr, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -218,14 +254,14 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
             jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
             jax.ShapeDtypeStruct((rp, LANES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((rb, LANES), jnp.float32),
-                        pltpu.VMEM((rb, LANES), jnp.float32),
-                        pltpu.VMEM((rb, LANES), jnp.int32),
-                        pltpu.VMEM((rb, LANES), jnp.int32)],
+        scratch_shapes=(
+            ([] if cv_none else [pltpu.VMEM((rb, LANES), jnp.float32)])
+            + [pltpu.VMEM((rb, LANES), jnp.float32),
+               pltpu.VMEM((rb, LANES), jnp.int32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(gate_p, cv_p, par)
+    )(*([gate_p] if cv_none else [gate_p, cv_p]), par)
     idx, basec_b, umin_b, umax_b, st = outs
 
     def unblk(a):  # [rp, nt*128] lane-b summaries -> [rp, nb]
@@ -254,13 +290,8 @@ def eligible(table, gate, n: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
-@jax.custom_batching.custom_vmap
-def play_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
-              length):
-    """[R, n] lanes + [R, K] tables + [R] params -> (audio [R, n],
-    pos_end [R], playing_end [R] bool, gate_last [R] bool).  The position
-    kernel feeds the windowed gather its precomputed window summaries.
-    Batch axes (vmap over voices) fold into rows."""
+def _play_impl(gate, cv, table, base_rate, pos0, playing0, gate_last0,
+               length):
     interpret = jax.default_backend() != "tpu"
     _, n = gate.shape
     k = table.shape[-1]
@@ -273,23 +304,54 @@ def play_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
     return out, pos_end, playing_end, gate_last
 
 
-@play_rows.def_vmap
-def _play_rule(axis_size, in_batched, *args):
-    args = [a if b else
-            jnp.broadcast_to(jnp.asarray(a)[None],
-                             (axis_size,) + jnp.shape(a))
-            for a, b in zip(args, in_batched)]
-    flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
-    outs = play_rows(*flat)
-    return (tuple(o.reshape((axis_size, -1) + o.shape[1:])
-                  for o in outs), (True,) * len(outs))
+def _make_rows_entry(with_cv: bool):
+    @jax.custom_batching.custom_vmap
+    def rows(*args):
+        """[R, n] lanes + [R, K] tables + [R] params -> (audio [R, n],
+        pos_end [R], playing_end [R] bool, gate_last [R] bool).  The
+        position kernel feeds the windowed gather its precomputed window
+        summaries.  Batch axes (vmap over voices) fold into rows."""
+        if with_cv:
+            gate, cv, *rest = args
+        else:
+            (gate, *rest), cv = args, None
+        return _play_impl(gate, cv, *rest)
+
+    @rows.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else
+                jnp.broadcast_to(jnp.asarray(a)[None],
+                                 (axis_size,) + jnp.shape(a))
+                for a, b in zip(args, in_batched)]
+        flat = [a.reshape((-1,) + a.shape[2:]) for a in args]
+        outs = rows(*flat)
+        return (tuple(o.reshape((axis_size, -1) + o.shape[1:])
+                      for o in outs), (True,) * len(outs))
+
+    return rows
+
+
+_play_rows_cv = _make_rows_entry(True)
+_play_rows_const = _make_rows_entry(False)
+
+
+def play_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
+              length):
+    """Row-folded entry; ``cv=None`` takes the constant-rate kernel."""
+    if cv is None:
+        return _play_rows_const(gate, table, base_rate, pos0, playing0,
+                                gate_last0, length)
+    return _play_rows_cv(gate, cv, table, base_rate, pos0, playing0,
+                         gate_last0, length)
 
 
 def play_table(gate, cv, table, base_rate, pos0, playing0, gate_last0,
                length):
-    """Logical single-voice entry: [n] gate/cv, [K] table, scalar params.
-    Under the block engine's vmap the custom rule folds voices to rows."""
-    outs = play_rows(gate[None], cv[None], table[None],
+    """Logical single-voice entry: [n] gate/cv, [K] table, scalar params;
+    ``cv=None`` = unconnected CV input (constant-rate fast path).  Under
+    the block engine's vmap the custom rule folds voices to rows."""
+    outs = play_rows(gate[None], None if cv is None else cv[None],
+                     table[None],
                      jnp.asarray(base_rate)[None], jnp.asarray(pos0)[None],
                      jnp.asarray(playing0)[None],
                      jnp.asarray(gate_last0)[None],

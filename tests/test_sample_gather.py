@@ -67,6 +67,17 @@ def test_edges_and_tiny_table():
     np.testing.assert_array_equal(_run(tbl, idx2), _want(tbl, idx2))
 
 
+def test_small_table_static_path():
+    """Tables at/under SMALL_CHUNKS chunks take the static whole-table
+    kernel (no windows); check both sides of the threshold boundary."""
+    rng = np.random.default_rng(5)
+    for k in (400, sample_gather.SMALL_CHUNKS * 128,
+              sample_gather.SMALL_CHUNKS * 128 + 1):
+        tbl = rng.normal(size=(R, k)).astype(np.float32)
+        idx = rng.integers(0, k, (R, N)).astype(np.int32)
+        np.testing.assert_array_equal(_run(tbl, idx), _want(tbl, idx))
+
+
 def test_unpadded_shapes():
     # rows/cols that need padding to (RB, T_CH)
     tbl = TBL[:3]

@@ -49,13 +49,15 @@ def serial_ref(gate, cvl, table, length, rate_base,
 
 def run_kernel(gate, cvl, table, length, rate_base,
                pos=None, playing=None, last=None):
+    """``cvl=None`` exercises the constant-rate (unconnected CV) kernel."""
     r, n = gate.shape
     pos = np.zeros(r, np.float32) if pos is None else np.asarray(pos)
     playing = (np.zeros(r, bool) if playing is None
                else np.asarray(playing))
     last = np.ones(r, bool) if last is None else np.asarray(last)
     outs = sample_kernel.play_rows(
-        jnp.asarray(gate, jnp.float32), jnp.asarray(cvl, jnp.float32),
+        jnp.asarray(gate, jnp.float32),
+        None if cvl is None else jnp.asarray(cvl, jnp.float32),
         jnp.asarray(table, jnp.float32),
         jnp.full((r,), rate_base, jnp.float32),
         jnp.asarray(pos, jnp.float32), jnp.asarray(playing),
@@ -69,8 +71,10 @@ def check(gate, cvl, table, length, rate_base, **state):
     r = gate.shape[0]
     for v in range(r):
         st = {k: np.asarray(s)[v] for k, s in state.items()} if state else {}
+        cv_v = (np.zeros(gate.shape[1], np.float32) if cvl is None
+                else cvl[v])
         want, wpos, wplay, wlast = serial_ref(
-            gate[v], cvl[v], table[v], length, rate_base, **st)
+            gate[v], cv_v, table[v], length, rate_base, **st)
         np.testing.assert_array_equal(got[v], want, err_msg=f"voice {v}")
         assert pos_e[v] == np.float32(wpos), (v, pos_e[v], wpos)
         assert play_e[v] == wplay
@@ -87,6 +91,40 @@ ZCV = np.zeros((R, N), np.float32)
 
 def test_triggers_rate_one():
     check(GATE, ZCV, TBL, K, 1.0)
+
+
+def test_small_table_through_position_kernel():
+    """A drums-style small table (<= SMALL_CHUNKS chunks): the position
+    kernel skips window summaries and the gather takes the static path."""
+    k = 400
+    tbl = RNG.normal(size=(R, k)).astype(np.float32)
+    check(GATE, ZCV, tbl, k, 1.0)
+    check(GATE, None, tbl, k, 2.0)
+
+
+def test_const_rate_path():
+    """cv=None (unconnected CV input): the constant-rate kernel, still
+    bit-exact against the serial reference at representable rates."""
+    check(GATE, None, TBL, K, 1.0)
+    check(GATE, None, TBL, K, 1.5)
+    # end-crossing + restarts through the const path
+    gate = (RNG.random((R, N)) > 0.999).astype(np.float32)
+    check(gate, None, TBL, 600, 2.0)
+
+
+def test_const_rate_carried_state_and_continuity():
+    pos = np.array([10.0, 4000.0, 0.0, 4999.0], np.float32)
+    playing = np.array([True, True, False, True])
+    check(ZCV, None, TBL, K, 1.5, pos=pos, playing=playing,
+          last=np.zeros(R, bool))
+    h = N // 2
+    full = run_kernel(GATE, None, TBL, K, 1.5)
+    a = run_kernel(GATE[:, :h], None, TBL, K, 1.5)
+    b = run_kernel(GATE[:, h:], None, TBL, K, 1.5,
+                   pos=a[1], playing=a[2], last=a[3])
+    np.testing.assert_array_equal(np.concatenate([a[0], b[0]], axis=1),
+                                  full[0])
+    np.testing.assert_array_equal(b[1], full[1])
 
 
 def test_exact_fractional_rates():
@@ -184,21 +222,24 @@ def test_module_block_fused_path_matches_unfused(monkeypatch):
     params = jax.tree.map(jnp.asarray, params)
     state0 = SAMPLE.init_state(cfg, statics)
 
-    def run():
+    def run(cv):
         return SAMPLE.block(cfg, statics, params, state0,
-                            (jnp.asarray(GATE[0]), jnp.asarray(ZCV[0])),
-                            None, N)
+                            (jnp.asarray(GATE[0]), cv), None, N)
 
-    st_ref, (out_ref,) = run()
-    monkeypatch.setattr(sample_mod.sample_kernel, "eligible",
-                        lambda *a: True)
-    st_fused, (out_fused,) = run()
-    np.testing.assert_array_equal(np.asarray(out_fused),
-                                  np.asarray(out_ref))
-    for k in st_ref:
-        np.testing.assert_array_equal(np.asarray(st_fused[k]),
-                                      np.asarray(st_ref[k]),
-                                      err_msg=k)
+    # connected CV lane AND unconnected CV (constant-rate fast path)
+    for cv in (jnp.asarray(ZCV[0]), None):
+        monkeypatch.setattr(sample_mod.sample_kernel, "eligible",
+                            lambda *a: False)
+        st_ref, (out_ref,) = run(cv)
+        monkeypatch.setattr(sample_mod.sample_kernel, "eligible",
+                            lambda *a: True)
+        st_fused, (out_fused,) = run(cv)
+        np.testing.assert_array_equal(np.asarray(out_fused),
+                                      np.asarray(out_ref))
+        for k in st_ref:
+            np.testing.assert_array_equal(np.asarray(st_fused[k]),
+                                          np.asarray(st_ref[k]),
+                                          err_msg=k)
 
 
 def test_eligibility_gates():
