@@ -118,3 +118,21 @@ def test_eligibility_gates():
     assert not scan_kernel.eligible((z,), 0)
     t8 = jnp.zeros((8, 128), jnp.float32)       # fused-kernel tile shape
     assert not scan_kernel.gather_eligible(t8, t8.astype(jnp.int32))
+
+
+def test_monotone_fill_matches_forward_fill():
+    """For non-decreasing non-negative values, the running-max fill gives
+    exactly forward_fill's result (float and int), and -1 before the
+    first masked entry."""
+    rng = np.random.default_rng(9)
+    for dtype in (np.float32, np.int32):
+        vals = np.cumsum(rng.integers(0, 4, (3, 700)), axis=1).astype(dtype)
+        mask = rng.random((3, 700)) < 0.02
+        got, ok = basic.monotone_fill(jnp.asarray(vals), jnp.asarray(mask),
+                                      axis=1)
+        want_v, want_ok = basic.forward_fill(jnp.asarray(vals),
+                                             jnp.asarray(mask), axis=1)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(want_ok))
+        np.testing.assert_array_equal(np.asarray(got)[np.asarray(ok)],
+                                      np.asarray(want_v)[np.asarray(want_ok)])
+        assert (np.asarray(got)[~np.asarray(ok)] == -1).all()
