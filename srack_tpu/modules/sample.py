@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import AudioConfig
 from ..ops.basic import (block_lane, block_transitions, fast_cumsum,
-                         monotone_fill, table_lookup, transition,
+                         monotone_fill, t_index, table_lookup, transition,
                          transition_init)
 
 # Waveform reads in the block path: the fused whole-Sample kernel
@@ -130,7 +130,7 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     base = (params["wav_sr"] / cfg.sample_rate).astype(CV_DTYPE)
     if cv_const:
         rate_last = base
-        cum_excl = base * jnp.arange(n, dtype=CV_DTYPE)
+        cum_excl = base * t_index(n, lane, dtype=CV_DTYPE)
     else:
         rate = base * jnp.exp2(cv_in)
         rate_last = rate[-1]
