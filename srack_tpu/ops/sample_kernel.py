@@ -18,9 +18,13 @@ running past the end emits ``samples[0]`` and stops -- folded here into
 ``idx = 0`` where crossed (``samples[0]`` IS the read at index 0), so the
 kernel's only lane output is the final gather index.
 
-The in-chunk scans replicate ops/scan_kernel's exact structure (same
-T_CHUNK, same Hillis-Steele shift order, carry folded after the chunk
-scan) so results match the unfused path bit-for-bit.
+The in-chunk rate prefix sum replicates ops/scan_kernel's exact structure
+(same T_CHUNK, same Hillis-Steele shift order, carry folded after the
+chunk scan) so results match the unfused path bit-for-bit; the
+last-trigger fill is a running max (ops/basic.monotone_fill -- max is
+order-free, so any chunking matches exactly), and an unconnected CV input
+collapses the prefix sum to ``base * iota`` (bit-exact elementwise
+multiply in both paths).
 """
 
 from __future__ import annotations
