@@ -48,13 +48,20 @@ def build(stage: str) -> Patch:
          * np.sin(2 * np.pi * 5900.0 * t)).astype(np.float32),
     ]
     n_smp = {"smp1": 1, "smp2": 2}.get(stage, 3)
-    if stage == "short":  # 900-frame tables: select-chain path, no gather
+    if stage == "short":  # 900-frame tables: small-table static gather
         waves = [w[:900] for w in waves]
     mix = p.add("Mono Mixer", gains=(0.5, 0.3, 0.2, 0.0), name="mix")
+    cvsrc = None
+    if stage == "fullcv":
+        # a zeros CV lane forces the connected-CV (prefix-sum) position
+        # pipeline with audio identical to the const-rate path
+        cvsrc = p.add("Multiply", constant=0.0, name="cv0")
     for row in range(n_smp):
         smp = p.add("Sample", samples=waves[row], wav_sample_rate=sr,
                     name=f"s{row}")
         p.connect(pat, str(row), smp, "Gate")
+        if cvsrc is not None:
+            p.connect(cvsrc, 0, smp, "CV")
         p.connect(smp, 0, mix, row)
     p.connect(mix, 0, p.output, 0)
     return p
@@ -73,7 +80,7 @@ def prepare(stage):
 
 
 def main():
-    stages = ["full", "smp2", "smp1", "short", "patonly"]
+    stages = ["full", "fullcv", "smp2", "smp1", "short", "patonly"]
     meters = {}
     for s in stages:
         t0 = time.perf_counter()
