@@ -35,6 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 VB = 32             # voices (rows) per kernel instance
 ALLPASS_FEEDBACK = 0.5
+# Damping-scan window: the comb one-pole coefficient is
+# damp = dampening * 0.4 with the dampening slider spanning 0..=2
+# (modules/freeverb.py freeverb_gains; freeverb crate scaledamp), so
+# damp <= 0.8 and contributions older than 128 samples carry weight
+# < 0.8^128 ~ 4e-13 -- far below f32 rounding of the running sum.
+# Truncating the log-doubling at a 128-sample window saves
+# log2(t_c/128) passes per comb per chunk (the kernel's dominant cost:
+# 11 -> 7 passes at the 48 kHz t_c of 1152).  Chunk-boundary carry
+# stays exact (the damp^(t+1) factor P covers all older history).
+DAMP_WINDOW = 128
 
 
 def _shift(x, s, fill):
@@ -114,7 +124,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
             B = y * one_m
             ds = damp
             s = 1
-            while s < t_c:
+            while s < min(t_c, DAMP_WINDOW):
                 B = B + ds * _shift(B, s, 0.0)
                 ds = ds * ds
                 s <<= 1

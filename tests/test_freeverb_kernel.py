@@ -74,6 +74,38 @@ def test_kernel_matches_per_sample_reference():
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
 
+def test_truncated_damping_window(monkeypatch):
+    """The damping scan truncates at DAMP_WINDOW taps (damp <= 0.8 makes
+    older contributions sub-f32-rounding).  The default window (128) only
+    engages at t_c > 128; shrink it to 32 here so the truncated code path
+    runs at the cheap interpret-mode shape, with damp small enough
+    (0.3^32 ~ 2e-17) that truncation stays below the float tolerance."""
+    monkeypatch.setattr(fvk, "DAMP_WINDOW", 32)
+    fvk._build.cache_clear()
+
+    rng = np.random.default_rng(2)
+    n, t_c = 256, 128
+    mixed = rng.normal(size=n).astype(np.float32) * 0.1
+    fs0 = rng.normal(size=16).astype(np.float32) * 0.1
+    damp, feed = np.float32(0.3), np.float32(0.84)
+    hists = [rng.normal(size=l).astype(np.float32) * 0.1
+             for l in COMB_LENS + AP_LENS]
+
+    fn = fvk._make_entry(COMB_LENS, AP_LENS, n, t_c)
+    outs = fn(jnp.asarray(mixed), jnp.asarray(fs0),
+              jnp.asarray(damp), jnp.asarray(feed),
+              *[jnp.asarray(h) for h in hists])
+    want_l, want_r, want_fs, want_h = _reference(mixed, fs0, damp, feed,
+                                                 hists)
+    np.testing.assert_allclose(np.asarray(outs[0]), want_l,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want_r,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[2]), want_fs,
+                               atol=2e-5, rtol=2e-5)
+    fvk._build.cache_clear()
+
+
 def test_kernel_batched_rows():
     import jax
 
