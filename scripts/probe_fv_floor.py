@@ -122,6 +122,111 @@ hists = [jnp.asarray(rng.normal(size=(V, l)).astype(np.float32) * 0.01)
 
 float(jax.jit(lambda x: (x * 2).sum())(jnp.ones((8, 128))))
 
+def build_nolines(t_c):
+    """Trivial copy kernel with NO delay-line refs at all: isolates the
+    lane-stream DMA floor from the resident-line machinery."""
+    n = (SR // t_c) * t_c
+    n_chunks = n // t_c
+
+    def kernel(mixed_ref, out_l_ref, out_r_ref):
+        mixed = mixed_ref[...]
+        out_l_ref[...] = mixed
+        out_r_ref[...] = mixed * 0.5
+
+    def lane_spec():
+        return pl.BlockSpec((VB, t_c), lambda vt, tt: (vt, tt),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(mixed):
+        outs = pl.pallas_call(
+            kernel, grid=(V // VB, n_chunks),
+            in_specs=[lane_spec()], out_specs=[lane_spec(), lane_spec()],
+            out_shape=[jax.ShapeDtypeStruct((V, n), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(mixed)
+        return outs[0]
+
+    return run, n, n_chunks
+
+
+def build_contig(t_c):
+    """Trivial copy with block-contiguous layout [g, VB, t_c] (the fused
+    kernel's shape family): is the [V, n]/[VB, t_c] 25 GB/s floor a DMA
+    striding artifact?"""
+    n = (SR // t_c) * t_c
+    g = (V // VB) * (n // t_c)
+
+    def kernel(mixed_ref, out_l_ref, out_r_ref):
+        mixed = mixed_ref[...]
+        out_l_ref[...] = mixed
+        out_r_ref[...] = mixed * 0.5
+
+    spec = pl.BlockSpec((1, VB, t_c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(mixed3):
+        outs = pl.pallas_call(
+            kernel, grid=(g,),
+            in_specs=[spec], out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((g, VB, t_c), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(mixed3)
+        return outs[0]
+
+    return run, n, g
+
+
+for t_c in (base_tc,):
+    run, n, g = build_contig(t_c)
+    mixed3 = jnp.asarray(rng.normal(size=(g, VB, t_c)).astype(np.float32)
+                         * 0.01)
+    meter = jax.jit(lambda m: jnp.abs(run(m)).max())
+    t0 = time.perf_counter()
+    float(meter(mixed3))
+    c = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(meter(mixed3))
+        best = min(best, time.perf_counter() - t0)
+    gb = 3 * g * VB * t_c * 4 / 1e9
+    log(f"[contig   t_c={t_c:5d}] n={n} inv={g:5d} compile={c:5.1f}s "
+        f"best={best*1e3:6.1f}ms ({gb/best:6.1f}GB/s) "
+        f"rate={V*n/best/1e9:.2f}G/s")
+
+    # XLA-native streaming baseline at the same shape
+    f = jax.jit(lambda m: jnp.abs(m * 2.0 + 1.0).max())
+    big = jnp.asarray(rng.normal(size=(V, n)).astype(np.float32))
+    float(f(big))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(big))
+        best = min(best, time.perf_counter() - t0)
+    log(f"[xla mul+max [V,n]] best={best*1e3:6.1f}ms "
+        f"({V*n*4/1e9/best:6.1f}GB/s read)")
+
+for t_c in (base_tc,):
+    run, n, n_chunks = build_nolines(t_c)
+    mixed = jnp.asarray(rng.normal(size=(V, n)).astype(np.float32) * 0.01)
+    meter = jax.jit(lambda m: jnp.abs(run(m)).max())
+    t0 = time.perf_counter()
+    float(meter(mixed))
+    c = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(meter(mixed))
+        best = min(best, time.perf_counter() - t0)
+    inv = (V // VB) * n_chunks
+    log(f"[nolines  t_c={t_c:5d}] n={n} inv={inv:5d} compile={c:5.1f}s "
+        f"best={best*1e3:6.1f}ms ({best/inv*1e6:5.1f}us/inv) "
+        f"rate={V*n/best/1e9:.2f}G/s")
+
 for t_c, mode in ((base_tc, "trivial"), (base_tc, "bare"),
                   (2 * base_tc, "bare"), (4 * base_tc, "bare"),
                   (4 * base_tc, "trivial")):

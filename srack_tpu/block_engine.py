@@ -178,12 +178,51 @@ class BlockProgram:
         desc = reach(serial, consumers)   # depend on serial (incl. serial)
         anc = reach(serial, deps)         # serial depends on them
         self.stage_set = serial | ((desc & anc) - serial)
-        self.pre_plan = [m for m in plan if m not in desc]
-        self.stage_plan = [m for m in plan if m in self.stage_set]
-        self.post_plan = [m for m in plan
-                          if m in desc and m not in self.stage_set]
+        pre_set = {m for m in plan if m not in desc}
+        post_set = {m for m in plan
+                    if m in desc and m not in self.stage_set}
 
-        pre_set = set(self.pre_plan)
+        # -- stage absorption: grow the stage over register-safe ------------
+        # neighbors.  The XLA block impls of register-math modules
+        # (oscillator prefix sums, sequencer edge counts, elementwise
+        # chains) cost several full-HBM passes each, while the same
+        # modules inside the per-sample Pallas stage cost roughly their
+        # op count in VMEM registers -- measured 6.5 vs 2.0 ms per second
+        # of audio at 1024 voices for the subtractive voice chain
+        # (scripts/ab_voice_block.py), the same machinery every block
+        # config pays around its Sample/Freeverb cores.  A pre module is
+        # absorbed when every consumer is already stage/post-side
+        # (reverse plan order reaches the fixpoint in one sweep); a post
+        # module when every producer is pre/stage-side (forward order) --
+        # so the pre -> stage -> post plan-order invariant is preserved.
+        # Only when the existing stage is already Pallas-eligible:
+        # growing a lax.scan-fallback stage would pessimize it.  The
+        # Output module never joins (make_run routes channels through the
+        # block phases).
+        def _safe(mid):
+            mdef = insts[mid][0]
+            return mdef.type_name in PALLAS_SAFE or mdef.register_safe
+
+        if (self.stage_set and not self.cfg.exact
+                and all(_safe(m) for m in self.stage_set)):
+            for m in reversed(plan):
+                if (m in pre_set and _safe(m)
+                        and m != compiled.output_id
+                        and all(c in self.stage_set or c in post_set
+                                for c in consumers[m])):
+                    pre_set.discard(m)
+                    self.stage_set.add(m)
+            for m in plan:
+                if (m in post_set and _safe(m)
+                        and m != compiled.output_id
+                        and all(d in pre_set or d in self.stage_set
+                                for d in deps[m])):
+                    post_set.discard(m)
+                    self.stage_set.add(m)
+
+        self.pre_plan = [m for m in plan if m in pre_set]
+        self.stage_plan = [m for m in plan if m in self.stage_set]
+        self.post_plan = [m for m in plan if m in post_set]
         self.stage_in = sorted({
             c for mid in self.stage_plan for c in insts[mid][2]
             if c is not None and c[0] in pre_set
