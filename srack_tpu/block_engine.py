@@ -175,12 +175,46 @@ class BlockProgram:
                         frontier.append(s)
             return seen
 
+        def _safe(mid):
+            mdef = insts[mid][0]
+            return mdef.type_name in PALLAS_SAFE or mdef.register_safe
+
+        def _has_carry(mids):
+            return any(jax.tree.leaves(
+                insts[m][0].init_state(self.cfg, insts[m][1]))
+                for m in mids)
+
+        # -- synthesized stage seed: patches with no serial core (e.g. the
+        # sampler kit: clock + sequencer + Samples + mixer) still pay the
+        # XLA block impls' whole-render prefix machinery (the sequencer's
+        # monotone_fill alone materializes [n, V] log-doubling passes --
+        # the 23.6 GB OOM at 30 s renders).  Seed a stage from the
+        # register-safe ANCESTORS of the non-safe modules so that
+        # machinery runs per sample in VMEM instead; adopted only if the
+        # implied stage is wholly Pallas-safe and has a state carry (a
+        # stateless or unsafe stage would fall back to lax.scan, a
+        # pessimization vs the block impls).
+        if not serial and not self.cfg.exact:
+            unsafe = {m for m in insts if not _safe(m)}
+            safe_anc = {m for m in reach(unsafe, deps) - unsafe
+                        if _safe(m) and m != compiled.output_id}
+            if safe_anc and _has_carry(safe_anc):
+                cand = safe_anc | ((reach(safe_anc, consumers)
+                                    & reach(safe_anc, deps)) - safe_anc)
+                if all(_safe(m) for m in cand):
+                    serial = safe_anc
+
         desc = reach(serial, consumers)   # depend on serial (incl. serial)
         anc = reach(serial, deps)         # serial depends on them
         self.stage_set = serial | ((desc & anc) - serial)
-        pre_set = {m for m in plan if m not in desc}
+        # pre = what the stage (transitively) depends on; everything else
+        # outside the stage runs POST -- modules parallel to the stage
+        # (e.g. a Sample beside the drum voices) go post so their safe
+        # producers (clock, sequencers) stay absorbable below.
+        pre_set = {m for m in plan
+                   if m in anc and m not in self.stage_set}
         post_set = {m for m in plan
-                    if m in desc and m not in self.stage_set}
+                    if m not in self.stage_set and m not in pre_set}
 
         # -- stage absorption: grow the stage over register-safe ------------
         # neighbors.  The XLA block impls of register-math modules
@@ -199,10 +233,6 @@ class BlockProgram:
         # growing a lax.scan-fallback stage would pessimize it.  The
         # Output module never joins (make_run routes channels through the
         # block phases).
-        def _safe(mid):
-            mdef = insts[mid][0]
-            return mdef.type_name in PALLAS_SAFE or mdef.register_safe
-
         if (self.stage_set and not self.cfg.exact
                 and all(_safe(m) for m in self.stage_set)):
             for m in reversed(plan):
