@@ -226,3 +226,39 @@ def test_pallas_safe_is_the_fused_register_set():
     from srack_tpu import block_engine
     from srack_tpu.ops import fused
     assert block_engine.PALLAS_SAFE is fused.REGISTER_TYPES
+
+
+def test_partition_absorbs_safe_neighbors_into_stage():
+    """Stage absorption + parallel-modules-post (perf regression pins):
+    the drum machine's clock/sequencer/voice chain all run inside the
+    serial Pallas stage (their XLA block impls cost whole-render HBM
+    passes -- the sequencer's [n, V] monotone_fill alone OOMed 30 s
+    renders); the hat Sample, parallel to the stage, runs POST so its
+    producers stay absorbable."""
+    from srack_tpu.block_engine import BlockProgram
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, precision="fast")
+    compiled = st.compile_patch(presets.drum_machine(cfg))
+    prog = BlockProgram(compiled)
+    names = lambda mids: [compiled.instances[m][0].type_name for m in mids]
+    assert prog.pre_plan == []
+    assert "Pattern Sequencer" in names(prog.stage_plan)
+    assert names(prog.post_plan) == ["Sample", "Mono Mixer", "Output"]
+    assert prog.pallas_ok
+
+
+def test_partition_synthesizes_stage_without_serial_core():
+    """A patch with no ADSR/Moog (sampler kit) still gets a Pallas stage
+    seeded from the register-safe ancestors of its Sample modules."""
+    from srack_tpu.block_engine import BlockProgram
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, precision="fast")
+    compiled = st.compile_patch(presets.sampler_kit(cfg))
+    prog = BlockProgram(compiled)
+    names = lambda mids: [compiled.instances[m][0].type_name for m in mids]
+    assert prog.pre_plan == []
+    assert set(names(prog.stage_plan)) == {"Oscillator", "Pattern Sequencer"}
+    assert names(prog.post_plan).count("Sample") == 3
+    assert prog.pallas_ok
+    # exact mode keeps the old fully-block partition (no synthesized stage)
+    cfgx = st.AudioConfig(sample_rate=4800, block_size=64, precision="exact")
+    progx = BlockProgram(st.compile_patch(presets.sampler_kit(cfgx)))
+    assert progx.stage_plan == []
