@@ -328,38 +328,97 @@ class CompiledPatch:
             self._block_prog = block_engine.BlockProgram(self)
         return self._block_prog
 
-    def _get_fn(self, n: int, batched: bool, engine: str = "scan"):
-        cache_key = (n, batched, engine)
+    def _build_fn(self, n: int, batched: bool, engine: str):
+        """The unjitted ``(params, state, key, drivers) -> (audio, probes,
+        final_state)`` program for one engine at one render length."""
+        if engine == "fused":
+            from .ops import fused
+            if not batched:
+                raise ValueError("fused engine requires batched render")
+            if not fused.eligible(self):
+                raise ValueError(
+                    "patch not eligible for the fused kernel (needs fast "
+                    "precision, no probes, and only register-friendly "
+                    f"modules: {sorted(fused.REGISTER_TYPES)} or custom "
+                    "types registered with register_safe=True)")
+            if self.cfg.buffer_feedback:
+                return fused.make_fused_render_buffer(self, n)
+            return fused.make_fused_render(self, n)
+        if engine == "block":
+            run_b = self.block_program().make_run(n)
+            if batched:
+                return run_b
+
+            def run_1(params, state, key, drivers):
+                ex = lambda t: jax.tree.map(lambda a: a[None], t)
+                audio, probes, final = run_b(
+                    ex(params), ex(state), key[None], ex(drivers))
+                return (audio[0], probes,
+                        jax.tree.map(lambda a: a[0], final))
+            return run_1
+        return self.make_render_fn(n, batched)
+
+    def _make_segmented(self, n: int, batched: bool, engine: str,
+                        segment: int):
+        """Device-side segmented render: one dispatch, ``lax.scan`` over
+        ``n // segment`` segments with module state carried between them.
+
+        A single unsegmented call must hold every whole-render intermediate
+        lane in HBM at once (the block engine's [V, n] wires OOM around 15 s
+        x 1024 voices); segmenting bounds live intermediates to one segment
+        while still paying the ~28 ms dispatch+fetch transport once.
+        Semantics are exactly :func:`srack_tpu.engine.render_long`'s -- state
+        carries (bit-identical in fast mode), noise lanes re-key per segment
+        via ``fold_in(key, seg_idx)`` -- but the loop runs on device instead
+        of round-tripping every segment through the host.
+        """
+        if n % segment != 0:
+            raise ValueError(
+                f"segment={segment} must divide the render length n={n}")
+        n_seg = n // segment
+        inner = self._build_fn(segment, batched, engine)
+
+        def run(params, state, keys, drivers):
+            def blocked(a):  # [..., n] -> [n_seg, ..., segment]
+                a = jnp.asarray(a)
+                a = a.reshape(a.shape[:-1] + (n_seg, segment))
+                return jnp.moveaxis(a, -2, 0)
+
+            drv_b = {k: blocked(v) for k, v in (drivers or {}).items()}
+
+            def body(carry, drv_i):
+                st, i = carry
+                # render_long's per-segment noise re-key (engine.py): the
+                # deterministic state carry is what must -- and does --
+                # line up
+                if batched and keys.ndim == 2:
+                    k_i = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+                else:
+                    k_i = jax.random.fold_in(keys, i)
+                audio, probes, st2 = inner(params, st, k_i, drv_i)
+                return (st2, i + 1), (audio, probes)
+
+            (state_f, _), (ys, pys) = jax.lax.scan(
+                body, (state, jnp.int32(0)), drv_b, length=n_seg)
+
+            def unblock(a):  # [n_seg, ..., segment] -> [..., n]
+                a = jnp.moveaxis(a, 0, -2)
+                return a.reshape(a.shape[:-2] + (n,))
+
+            return unblock(ys), jax.tree.map(unblock, pys), state_f
+
+        return run
+
+    def _get_fn(self, n: int, batched: bool, engine: str = "scan",
+                segment: Optional[int] = None):
+        cache_key = (n, batched, engine, segment)
         fn = self._fn_cache.get(cache_key)
         if fn is None:
-            if engine == "fused":
-                from .ops import fused
-                if not batched:
-                    raise ValueError("fused engine requires batched render")
-                if not fused.eligible(self):
-                    raise ValueError(
-                        "patch not eligible for the fused kernel (needs fast "
-                        "precision, no probes, and only register-friendly "
-                        f"modules: {sorted(fused.REGISTER_TYPES)} or custom "
-                        "types registered with register_safe=True)")
-                if self.cfg.buffer_feedback:
-                    fn = jax.jit(fused.make_fused_render_buffer(self, n))
-                else:
-                    fn = jax.jit(fused.make_fused_render(self, n))
-            elif engine == "block":
-                run_b = self.block_program().make_run(n)
-                if batched:
-                    fn = jax.jit(run_b)
-                else:
-                    def run_1(params, state, key, drivers):
-                        ex = lambda t: jax.tree.map(lambda a: a[None], t)
-                        audio, probes, final = run_b(
-                            ex(params), ex(state), key[None], ex(drivers))
-                        return (audio[0], probes,
-                                jax.tree.map(lambda a: a[0], final))
-                    fn = jax.jit(run_1)
+            if segment is not None and segment != n:
+                fn = jax.jit(self._make_segmented(n, batched, engine,
+                                                  segment))
             else:
-                fn = jax.jit(self.make_render_fn(n, batched))
+                fn = jax.jit(self._build_fn(n, batched, engine))
             self._fn_cache[cache_key] = fn
         return fn
 
@@ -406,7 +465,8 @@ class CompiledPatch:
     def render(self, n_samples: int, *, params: Optional[dict] = None,
                state: Optional[dict] = None, key=None, drivers=None,
                automation: Optional[dict] = None,
-               batched: bool = False, engine: str = "auto"):
+               batched: bool = False, engine: str = "auto",
+               segment: Optional[int] = None):
         """Render ``n_samples``.
 
         Returns ``(audio, probes, final_state)`` where audio is
@@ -418,6 +478,13 @@ class CompiledPatch:
         ``engine``: ``"scan"`` (fused lax.scan, runs everywhere),
         ``"fused"`` (Pallas voice kernel, TPU + batched + register-friendly
         patches only), or ``"auto"`` (fused when eligible on TPU).
+
+        ``segment``: render on device in ``segment``-sample pieces under one
+        ``lax.scan`` (must divide ``n_samples``) -- one dispatch, state
+        carried, live intermediates bounded to a segment.  The long-render
+        escape hatch for lengths whose whole-render lanes OOM HBM (same
+        semantics as :func:`srack_tpu.engine.render_long`, minus the
+        per-segment host round trip).
         """
         if engine == "auto":
             engine = self.auto_engine(batched)
@@ -457,7 +524,8 @@ class CompiledPatch:
             drv = {k: (jnp.broadcast_to(a, (v,) + jnp.shape(a))
                        if jnp.ndim(a) == 1 else jnp.asarray(a))
                    for k, a in drv.items()}
-        fn = self._get_fn(int(n_samples), batched, engine)
+        fn = self._get_fn(int(n_samples), batched, engine,
+                          segment=None if segment is None else int(segment))
         return fn(params, state, key, drv)
 
 

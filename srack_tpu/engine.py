@@ -28,7 +28,8 @@ from .patch import Patch
 def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
            state: Optional[dict] = None, key=None, drivers=None,
            automation: Optional[dict] = None,
-           probes: Sequence = (), engine: str = "auto"):
+           probes: Sequence = (), engine: str = "auto",
+           segment: Optional[int] = None):
     """Render ``n_samples`` of a patch offline.
 
     Returns ``(audio, probes, final_state)``; ``audio`` is ``[channels, n]``
@@ -39,12 +40,17 @@ def render(patch: Patch, n_samples: int, *, params: Optional[dict] = None,
     automation lanes for any scalar module param (the DAW-style layer the
     reference's static sliders lack); exact per-sample semantics on the
     scan and fused engines.
+
+    ``segment``: render in ``segment``-sample pieces on device (one
+    dispatch, ``lax.scan`` with carried state) -- bounds live intermediates
+    for render lengths that OOM unsegmented; same semantics as
+    :func:`render_long` without the per-segment host round trip.
     """
     compiled = compile_patch(patch, probes=probes,
                              automation=tuple(automation or ()))
     return compiled.render(n_samples, params=params, state=state, key=key,
                            drivers=drivers, automation=automation,
-                           engine=engine)
+                           engine=engine, segment=segment)
 
 
 def render_stream(patch: Patch, *, params: Optional[dict] = None,
@@ -259,7 +265,7 @@ def render_many(patches: Sequence[Patch], n_samples: int, *, key=None,
 def render_batch(patch: Patch, n_samples: int, *, params: dict,
                  state: Optional[dict] = None, key=None, drivers=None,
                  automation: Optional[dict] = None, probes: Sequence = (),
-                 engine: str = "auto"):
+                 engine: str = "auto", segment: Optional[int] = None):
     """Render a batch of voices of one topology in parallel.
 
     ``params`` must carry a leading voice axis on every leaf (see
@@ -273,4 +279,4 @@ def render_batch(patch: Patch, n_samples: int, *, params: dict,
                              automation=tuple(automation or ()))
     return compiled.render(n_samples, params=params, state=state, key=key,
                            drivers=drivers, automation=automation,
-                           batched=True, engine=engine)
+                           batched=True, engine=engine, segment=segment)
