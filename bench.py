@@ -36,7 +36,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_config(name, patch, n, voices, engine="auto", repeats=5):
+def bench_config(name, patch, n, voices, engine="auto", repeats=5,
+                 segment=None):
     # 5 repeats, min taken: inter-run noise on the shared device is ±3 ms
     # and occasionally tens of ms when another tenant's compile drains
     # (CLAUDE.md timing notes); extra repeats cost ~0.5 s total.
@@ -47,7 +48,8 @@ def bench_config(name, patch, n, voices, engine="auto", repeats=5):
         compiled.init_state())
     keys = jax.random.split(jax.random.PRNGKey(0), voices)
     fn = compiled._get_fn(n, True, engine if engine != "auto" else
-                          ("fused" if compiled.fused_eligible() else "block"))
+                          ("fused" if compiled.fused_eligible() else "block"),
+                          segment=segment)
     # one dispatch per timed call: the on-device peak reduction both forces
     # execution and is the fetch (a separate abs(out).max() dispatch costs
     # ~45 ms extra of transport on this tunnel -- measured 7.0 vs 10.4 G

@@ -385,9 +385,24 @@ class CompiledPatch:
                 return jnp.moveaxis(a, -2, 0)
 
             drv_b = {k: blocked(v) for k, v in (drivers or {}).items()}
+            drv0 = {k: v[0] for k, v in drv_b.items()}
+
+            # segments write into carried whole-render buffers via
+            # dynamic_update_slice (XLA updates a unique-owned scan carry in
+            # place): a stacked [n_seg, ..., segment] scan output plus its
+            # untiling transpose would hold TWO whole-render copies live --
+            # measured 16.49G > 15.75G HBM on a 30 s x 1024-voice render
+            # that fits fine with one
+            aud_s, probes_s, _ = jax.eval_shape(
+                inner, params, state, keys, drv0)
+
+            def whole(sd):
+                return jnp.zeros(sd.shape[:-1] + (n,), sd.dtype)
+
+            bufs0 = (whole(aud_s), jax.tree.map(whole, probes_s))
 
             def body(carry, drv_i):
-                st, i = carry
+                st, i, abuf, pbufs = carry
                 # render_long's per-segment noise re-key (engine.py): the
                 # deterministic state carry is what must -- and does --
                 # line up
@@ -396,16 +411,17 @@ class CompiledPatch:
                 else:
                     k_i = jax.random.fold_in(keys, i)
                 audio, probes, st2 = inner(params, st, k_i, drv_i)
-                return (st2, i + 1), (audio, probes)
+                start = i * segment
+                abuf = jax.lax.dynamic_update_slice_in_dim(
+                    abuf, audio, start, axis=-1)
+                pbufs = jax.tree.map(
+                    lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+                        b, v, start, axis=-1), pbufs, probes)
+                return (st2, i + 1, abuf, pbufs), None
 
-            (state_f, _), (ys, pys) = jax.lax.scan(
-                body, (state, jnp.int32(0)), drv_b, length=n_seg)
-
-            def unblock(a):  # [n_seg, ..., segment] -> [..., n]
-                a = jnp.moveaxis(a, 0, -2)
-                return a.reshape(a.shape[:-2] + (n,))
-
-            return unblock(ys), jax.tree.map(unblock, pys), state_f
+            (state_f, _, abuf, pbufs), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)) + bufs0, drv_b, length=n_seg)
+            return abuf, pbufs, state_f
 
         return run
 
