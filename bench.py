@@ -146,38 +146,46 @@ def main() -> None:
     # secondary configs (stderr only); failures must not kill the headline.
     # Each config starts at a 30 s render (same transport amortization as
     # the headline: the ~28 ms/call dispatch+fetch is fixed, so longer
-    # renders measure the engine, not the tunnel) and degrades to shorter
-    # ns if the block-engine intermediates OOM HBM at that length.
+    # renders measure the engine, not the tunnel).  Block-engine configs
+    # whose whole-render [V, n] lanes OOM HBM at 30 s run device-side
+    # segmented (render(..., segment=): one dispatch, lax.scan over
+    # segments with carried state, live intermediates bounded to one
+    # segment -- compiler._make_segmented); the ladder then degrades the
+    # segment before it ever shortens the render.
     for name, patch, ns, v in (
-        ("sine x1024", sine_patch(cfg), (1440000, 480000), 1024),
+        ("sine x1024", sine_patch(cfg), ((1440000, None), (480000, None)),
+         1024),
         # 2 s renders halve the transport fraction (the 1 s farm was 45%
         # fixed dispatch+fetch); [16384, 1, 96000] f32 output = 6.3 GB HBM
-        ("farm x16384", subtractive_voice(cfg), (96000,), 16384),
+        ("farm x16384", subtractive_voice(cfg), ((96000, None),), 16384),
         # the patch is fully serial (cross-FM + filter feedback), so
         # compute is only ~90 cycles/sample
-        ("feedback x1024", feedback_patch(cfg), (1440000, 480000), 1024),
+        ("feedback x1024", feedback_patch(cfg),
+         ((1440000, None), (480000, None)), 1024),
         # sequencers are register-safe select chains -> fused engine
         ("sequencer x1024 (fused)", sequencer_patch(cfg),
-         (1440000, 480000), 1024),
+         ((1440000, None), (480000, None)), 1024),
         # sample playback keeps this on the block engine (waveform reads)
         ("drums x1024 (block engine)", drum_machine(cfg),
-         (1440000, 480000), 1024),
+         ((1440000, 480000), (1440000, 240000), (480000, None)), 1024),
         # real-length samples: three 48,000-frame waveforms through the
         # fused position+windowed-gather kernel pair (ops/sample_kernel +
         # ops/sample_gather)
         ("sampler x1024 (48k-frame samples)", sampler_kit(cfg),
-         (1440000, 480000), 1024),
+         ((1440000, 480000), (1440000, 240000), (480000, None)), 1024),
         # Freeverb's 12 delay lines per channel: whole-Freeverb VMEM kernel
         # + in-VMEM ring canonicalization (ops/ring_roll)
         ("reverb x1024 (block engine)", reverb_patch(cfg),
-         (1440000, 480000), 1024),
+         ((1440000, 480000), (1440000, 240000), (480000, None)), 1024),
     ):
-        for n_try in ns:
+        for n_try, seg in ns:
+            seg_tag = f" seg={seg // 48000}s" if seg else ""
             try:
-                bench_config(f"{name} x{n_try // 48000}s", patch, n_try, v)
+                bench_config(f"{name} x{n_try // 48000}s{seg_tag}", patch,
+                             n_try, v, segment=seg)
                 break
             except Exception as e:
-                log(f"[{name} n={n_try}] failed: {e!r}")
+                log(f"[{name} n={n_try} seg={seg}] failed: {e!r}")
 
     # training-step benchmark (stderr): Pallas fwd+bwd gradient step
     try:
@@ -234,6 +242,27 @@ def main() -> None:
             f"compile {compile_s:.0f}s, loss {lK:.4f})")
     except Exception as e:
         log(f"[train] failed: {e!r}")
+
+    # exact-mode rate (stderr): the oracle-fidelity precision ("exact" =
+    # f64 phase/reverb mirroring the reference's per-module dtypes,
+    # matching oracle.py ~1e-6) has a stated rate, not just fast mode.
+    # x64 is enabled HERE, after every fast-mode config has run: fast
+    # mode must trace without x64 (conftest forces it only for tests).
+    try:
+        jax.config.update("jax_enable_x64", True)
+        cfg_x = st.AudioConfig(sample_rate=48000, block_size=1024,
+                               channels=1, precision="exact")
+        for n_try, seg in ((480000, None), (96000, None), (48000, None)):
+            try:
+                bench_config(
+                    f"exact x1024 (block engine) x{n_try / 48000:g}s",
+                    subtractive_voice(cfg_x), n_try, 1024, engine="block",
+                    segment=seg)
+                break
+            except Exception as e:
+                log(f"[exact n={n_try}] failed: {e!r}")
+    except Exception as e:
+        log(f"[exact] failed: {e!r}")
 
     print(json.dumps({
         "metric": "rendered_audio_samples_per_sec_per_chip",

@@ -28,6 +28,7 @@ out of the scan as xs with leading time axis.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 import jax
@@ -41,6 +42,40 @@ from .planner import plan_execution
 
 def _probe_key(mid: str, port: int) -> str:
     return f"{mid}:{port}"
+
+
+class _LRU(OrderedDict):
+    """Bounded insertion/access-ordered cache.
+
+    Long-lived processes (the render-service example serves arbitrary
+    topologies and render lengths) would otherwise accumulate compiled
+    executables without bound -- each holds JIT code pages, and one process
+    segfaults inside LLVM around ~65k mappings (vm.max_map_count; see
+    CLAUDE.md).  Evicted entries drop their reference; XLA frees the
+    executable when the jitted wrapper is garbage-collected.
+    """
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = cap
+
+    def get(self, key, default=None):
+        v = super().get(key, default)
+        if key in self:
+            self.move_to_end(key)
+        return v
+
+    def put(self, key, value) -> None:
+        self[key] = value
+        self.move_to_end(key)
+        while len(self) > self.cap:
+            self.popitem(last=False)
+
+
+# Per-patch cap on cached jitted render fns (distinct (n, batched, engine,
+# segment) combinations) and global cap on compiled topologies.
+FN_CACHE_CAP = 32
+COMPILE_CACHE_CAP = 64
 
 
 class CompiledPatch:
@@ -113,7 +148,7 @@ class CompiledPatch:
         self._auto_by_mid: dict = {}
         for mid, pname in self.automation:
             self._auto_by_mid.setdefault(mid, []).append(pname)
-        self._fn_cache: dict = {}
+        self._fn_cache = _LRU(FN_CACHE_CAP)
 
     @staticmethod
     def _auto_key(mid: str, pname: str) -> str:
@@ -372,6 +407,8 @@ class CompiledPatch:
         via ``fold_in(key, seg_idx)`` -- but the loop runs on device instead
         of round-tripping every segment through the host.
         """
+        if segment <= 0:
+            raise ValueError(f"segment must be positive, got {segment}")
         if n % segment != 0:
             raise ValueError(
                 f"segment={segment} must divide the render length n={n}")
@@ -430,12 +467,17 @@ class CompiledPatch:
         cache_key = (n, batched, engine, segment)
         fn = self._fn_cache.get(cache_key)
         if fn is None:
-            if segment is not None and segment != n:
+            if segment is not None:
+                # segment == n runs a one-iteration segmented scan rather
+                # than the plain program: it keeps render_long's
+                # per-segment fold_in(key, 0) re-key, so render(n,
+                # segment=s) agrees with render_long(n, segment=s) for
+                # every valid s (including s == n) on noise patches
                 fn = jax.jit(self._make_segmented(n, batched, engine,
                                                   segment))
             else:
                 fn = jax.jit(self._build_fn(n, batched, engine))
-            self._fn_cache[cache_key] = fn
+            self._fn_cache.put(cache_key, fn)
         return fn
 
     def grad_render_fn(self, n: int, batched: bool = True):
@@ -568,21 +610,41 @@ def migrate_state(old: "CompiledPatch", new: "CompiledPatch",
     import numpy as np
 
     fresh = new.init_state()
+    old_init = jax.eval_shape(old.init_state)
+    new_init = jax.eval_shape(new.init_state)
+
+    def _same_struct(mid: str) -> bool:
+        # the carried leaves conform to OLD's state layout; they are only
+        # safe to hand to NEW if that layout is identical (a custom module
+        # unregistered and re-registered between edits may share its
+        # type_name but carry a different state pytree)
+        a, b = old_init["states"].get(mid), new_init["states"].get(mid)
+        if a is None or b is None:
+            return False
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        return (jax.tree.structure(a) == jax.tree.structure(b)
+                and all(x.shape == y.shape and x.dtype == y.dtype
+                        for x, y in zip(la, lb)))
+
     if old.cfg != new.cfg:
         carried_ids: set = set()
     else:
+        # identity is (type_name, statics) -- NOT the ModuleDef object: a
+        # re-registered custom module (modules.unregister + register round
+        # trip) is a new ModuleDef object but the same live module, and its
+        # state must survive the edit like any other
         carried_ids = {
             mid for mid, (mdef, statics, _) in new.instances.items()
             if mid in old.instances
-            and old.instances[mid][0] is mdef
+            and old.instances[mid][0].type_name == mdef.type_name
             and old.instances[mid][1] == statics
             and mid in state["states"]
+            and _same_struct(mid)
         }
 
     # infer the batch prefix by comparing one carried leaf against the
     # unbatched init shape of the same leaf
     prefix: tuple = ()
-    old_init = jax.eval_shape(old.init_state)
     for mid in sorted(state["states"]):
         if mid not in old_init["states"]:
             continue
@@ -618,7 +680,7 @@ def migrate_state(old: "CompiledPatch", new: "CompiledPatch",
     return {"states": states, "fb": fb}
 
 
-_COMPILE_CACHE: dict = {}
+_COMPILE_CACHE = _LRU(COMPILE_CACHE_CAP)
 
 
 def compile_patch(patch: Patch, probes: Sequence = (),
@@ -637,7 +699,7 @@ def compile_patch(patch: Patch, probes: Sequence = (),
     cached = _COMPILE_CACHE.get(key)
     if cached is None:
         cached = CompiledPatch(patch, probes=probes, automation=autos_key)
-        _COMPILE_CACHE[key] = cached
+        _COMPILE_CACHE.put(key, cached)
     else:
         # refresh default params (they may have changed without recompiling)
         cached.default_params = patch.params()

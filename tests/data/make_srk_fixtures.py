@@ -25,7 +25,35 @@ import struct
 from pathlib import Path
 
 
-class Emit:
+class EmitBase:
+    """Serde-shape helpers shared by both encoders.  Subclasses supply the
+    byte-level MessagePack primitives; the two implementations below are
+    independent (hand-assembled from the wire spec vs the ``msgpack``
+    wheel), so a shared misreading of the encoding rules cannot pass
+    tests/test_io.py::test_independent_encoders_agree."""
+
+    # -- serde shapes ---------------------------------------------------------
+    def audio_buffer(self, block: int, fill: float = 0.25):
+        """AudioBuffer(Option<Arc<RwLock<Box<[f32]>>>>) (synth.rs:28):
+        newtype -> inner; Some -> the boxed slice as an f32 array."""
+        self.arr(block)
+        for i in range(block):
+            self.f32(fill * ((i % 3) - 1))
+
+    def detector(self, last=True):
+        """TransitionDetector { last } (synth.rs:277-279)."""
+        self.arr(1)
+        self.boolean(last)
+
+    def variant(self, name: str, n_fields: int):
+        self.map(1)
+        self.s(name)
+        self.arr(n_fields)
+
+
+class Emit(EmitBase):
+    """Hand-assembled bytes straight from the rmp 1.3 wire rules."""
+
     def __init__(self):
         self.b = bytearray()
 
@@ -72,30 +100,52 @@ class Emit:
     def map(self, n: int):
         self.b.append(0x80 | n)
 
-    # -- serde shapes ---------------------------------------------------------
-    def audio_buffer(self, block: int, fill: float = 0.25):
-        """AudioBuffer(Option<Arc<RwLock<Box<[f32]>>>>) (synth.rs:28):
-        newtype -> inner; Some -> the boxed slice as an f32 array."""
-        self.arr(block)
-        for i in range(block):
-            self.f32(fill * ((i % 3) - 1))
 
-    def detector(self, last=True):
-        """TransitionDetector { last } (synth.rs:277-279)."""
-        self.arr(1)
-        self.boolean(last)
+class MsgpackEmit(EmitBase):
+    """The same primitive interface encoded by the ``msgpack`` wheel
+    (clean-room w.r.t. Emit: every byte comes from the C/Python msgpack
+    packer, which implements the spec independently of this repo).
+    rmp-serde's encoding choices map onto the wheel's: minimal-width ints,
+    fixstr/str8 strings, and explicit f32 (``use_single_float``) for Rust
+    f32 fields vs f64 otherwise."""
 
-    def variant(self, name: str, n_fields: int):
-        self.map(1)
-        self.s(name)
-        self.arr(n_fields)
+    def __init__(self):
+        import msgpack
+        self.b = bytearray()
+        self._p32 = msgpack.Packer(use_single_float=True, autoreset=True)
+        self._p64 = msgpack.Packer(autoreset=True)
+
+    def s(self, text: str):
+        self.b += self._p64.pack(text)
+
+    def u(self, v: int):
+        self.b += self._p64.pack(v)
+
+    def f32(self, v: float):
+        self.b += self._p32.pack(struct.unpack(
+            ">f", struct.pack(">f", v))[0])
+
+    def f64(self, v: float):
+        self.b += self._p64.pack(v)
+
+    def boolean(self, v: bool):
+        self.b += self._p64.pack(bool(v))
+
+    def nil(self):
+        self.b += self._p64.pack(None)
+
+    def arr(self, n: int):
+        self.b += self._p64.pack_array_header(n)
+
+    def map(self, n: int):
+        self.b += self._p64.pack_map_header(n)
 
 
 BLOCK = 16  # the fixture app's buffer_size (any value works; state only)
 
 
-def build() -> bytes:
-    e = Emit()
+def build(emit_cls=Emit) -> bytes:
+    e = emit_cls()
     ids = {k: f"00000000-0000-4000-8000-{i:012d}" for i, k in enumerate((
         "out", "osc", "noise", "gridv0", "gridv1", "pat", "adsr", "vca",
         "moogv0", "moogv1", "mix", "sample", "add", "sub", "mul", "nl",

@@ -313,3 +313,31 @@ def test_srk_malformed_structures_rejected():
     for i, data in enumerate(cases):
         with pytest.raises((SrkError, ValueError)):
             read_srk(data)
+
+
+def test_independent_encoders_agree():
+    """Two independent MessagePack encoders -- the hand-assembled rmp-rule
+    emitter and the ``msgpack`` wheel -- must produce byte-identical
+    fixtures, and the checked-in fixture must match both.  Breaks the
+    round-3 self-reference concern: a misreading of the *wire rules* in
+    the hand-assembled emitter can no longer pass silently (the serde
+    struct->array mapping is still shared; that layer is pinned by the
+    field-order-sensitive values in test_srk_ground_truth_fixture)."""
+    import importlib.util
+    import pathlib
+    pytest.importorskip("msgpack")
+    gen = pathlib.Path(__file__).parent / "data" / "make_srk_fixtures.py"
+    spec = importlib.util.spec_from_file_location("make_srk_fixtures", gen)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    hand = mod.build(mod.Emit)
+    wheel = mod.build(mod.MsgpackEmit)
+    if hand != wheel:
+        # pinpoint the first divergence for the assertion message
+        i = next(k for k, (a, b) in enumerate(zip(hand, wheel)) if a != b)
+        raise AssertionError(
+            f"encoders diverge at byte {i}: "
+            f"hand={hand[i:i+8].hex()} wheel={wheel[i:i+8].hex()}")
+    fx = pathlib.Path(__file__).parent / "data" / "reference_all_modules.srk"
+    assert fx.read_bytes() == hand, "checked-in fixture is stale"

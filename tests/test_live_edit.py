@@ -241,3 +241,89 @@ def test_fuzz_offpath_edits_do_not_change_audio():
         np.testing.assert_allclose(
             got, np.asarray(want), atol=0, rtol=0,
             err_msg=f"off-path live edits changed audio (seed {seed})")
+
+
+# -- custom-module re-registration across edits -------------------------------
+# migrate_state keys module identity on (type_name, statics) -- NOT ModuleDef
+# object identity: a custom type unregistered and re-registered between edits
+# (plugin reload) is a new ModuleDef object but the same live module, and its
+# state must survive like any other (round-3 verdict, weak #6).
+
+def _accum_def(state_leaf="y"):
+    from srack_tpu.modules.base import CV_DTYPE, ModuleDef, const_ports, in_or
+
+    def make(cfg):
+        return ("accum",), {}
+
+    def init_state(cfg, statics):
+        return {state_leaf: jnp.zeros((), dtype=CV_DTYPE)}
+
+    def step(cfg, statics, params, state, ins, x=None):
+        y = state[state_leaf] + in_or(ins[0], 1.0)
+        return {state_leaf: y}, (y.astype(CV_DTYPE),)
+
+    nin, inl = const_ports(1, ("In",))
+    nout, outl = const_ports(1, (None,))
+    return ModuleDef(type_name="Accum", make=make, num_inputs=nin,
+                     num_outputs=nout, input_labels=inl, output_labels=outl,
+                     init_state=init_state, step=step)
+
+
+def test_migrate_state_survives_module_reregistration():
+    st.register_module(_accum_def())
+    try:
+        def build():
+            q = st.Patch(CFG)
+            acc = q.add("Accum")
+            q.connect(acc, 0, q.output, 0)
+            return q
+
+        p1 = build()
+        c1 = compile_patch(p1)
+        _, _, state = c1.render(8)
+        carried = float(jax.tree.leaves(state["states"])[0])
+        assert carried == 8.0
+
+        # plugin reload: same type_name, fresh ModuleDef object
+        st.unregister_module("Accum")
+        st.register_module(_accum_def())
+        from srack_tpu.compiler import _COMPILE_CACHE
+        _COMPILE_CACHE.clear()
+        p2 = build()
+        c2 = compile_patch(p2)
+        assert c2.instances["m1"][0] is not c1.instances["m1"][0]
+
+        migrated = migrate_state(c1, c2, state)
+        got = float(jax.tree.leaves(migrated["states"])[0])
+        assert got == carried, "re-registered module's state was cold-reset"
+    finally:
+        st.unregister_module("Accum")
+
+
+def test_migrate_state_resets_on_changed_state_layout():
+    """A re-registered type whose state pytree CHANGED must cold-reset
+    (carrying the old leaves would hand the new step the wrong layout)."""
+    st.register_module(_accum_def(state_leaf="y"))
+    try:
+        def build():
+            q = st.Patch(CFG)
+            acc = q.add("Accum")
+            q.connect(acc, 0, q.output, 0)
+            return q
+
+        p1 = build()
+        c1 = compile_patch(p1)
+        _, _, state = c1.render(8)
+
+        st.unregister_module("Accum")
+        st.register_module(_accum_def(state_leaf="z"))  # new layout
+        from srack_tpu.compiler import _COMPILE_CACHE
+        _COMPILE_CACHE.clear()
+        p2 = build()
+        c2 = compile_patch(p2)
+
+        migrated = migrate_state(c1, c2, state)
+        assert "z" in migrated["states"]["m1"]
+        assert float(migrated["states"]["m1"]["z"]) == 0.0
+    finally:
+        st.unregister_module("Accum")

@@ -90,3 +90,23 @@ def test_segment_must_divide_n():
     q = _voice()
     with pytest.raises(ValueError, match="must divide"):
         st.render(q, 500, engine="scan", segment=128)
+
+
+def test_segment_equal_n_matches_render_long():
+    # segment == n must still re-key noise with fold_in(key, 0) (one-
+    # iteration segmented scan), so it agrees with render_long(segment=n)
+    # -- the unsegmented path uses the raw key and would differ (round-3
+    # advisor finding)
+    p = st.Patch(CFG)
+    nz = p.add("Noise")
+    p.connect(nz, 0, p.output, 0)
+    seg, _, _ = st.render(p, 256, engine="scan", segment=256)
+    rl, _ = render_long(p, 256, segment=256, engine="scan")
+    np.testing.assert_array_equal(np.asarray(seg), rl)
+
+
+def test_segment_must_be_positive():
+    q = _voice()
+    for bad in (0, -128):
+        with pytest.raises(ValueError, match="positive"):
+            st.render(q, 512, engine="scan", segment=bad)
