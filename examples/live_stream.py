@@ -105,6 +105,14 @@ def paced_consume(stream, block_s, on_block=None, n_prime=2):
 
 
 def main(argv):
+    # --voices V: batched live streaming -- V voices per block on the
+    # batch engines (the reference's play-while-editing loop at the scale
+    # that justifies them; blocks are [V, C, block], the sink mixes them)
+    voices = None
+    if "--voices" in argv:
+        i = argv.index("--voices")
+        voices = int(argv[i + 1])
+        del argv[i:i + 2]
     name = argv[1] if len(argv) > 1 else "sequencer"
     seconds = float(argv[2]) if len(argv) > 2 else 10.0
     sink_kind = argv[3] if len(argv) > 3 else "auto"
@@ -116,12 +124,14 @@ def main(argv):
     block_s = cfg.block_size / cfg.sample_rate
     n_blocks = int(seconds / block_s)
 
-    stream = st.render_stream(patch, n_blocks=n_blocks)
+    stream = st.render_stream(patch, n_blocks=n_blocks, voices=voices)
     kind, sink = open_sink(sink_kind, cfg)
 
     blocks = []
 
     def on_block(block):
+        if voices is not None:
+            block = block.mean(axis=0)  # monitor mix of the voice batch
         if kind == "device":
             sink.write(np.ascontiguousarray(block.T))
         elif kind == "wav":

@@ -57,13 +57,23 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
                   state: Optional[dict] = None, key=None,
                   n_blocks: Optional[int] = None,
                   automation: Optional[dict] = None,
-                  probes: Sequence = ()) -> Iterator:
+                  probes: Sequence = (), voices: Optional[int] = None,
+                  engine: str = "auto") -> Iterator:
     """Yield ``(audio_block, probe_block, state)`` tuples of
     ``block_size`` samples forever (or for ``n_blocks``).
 
     ``automation`` lanes are consumed block-by-block; a stream that
     outlives its lanes holds each lane's final value (like a DAW past the
     end of an automation clip).
+
+    **Batched streaming**: pass ``voices=V`` (and optionally stacked
+    ``params`` with a leading ``V`` axis, see :func:`stack_params` /
+    :func:`replicate_params`) to stream ``V`` voices of the topology at
+    once -- audio blocks are ``[V, channels, block]`` and run on the
+    batch engines (fused Pallas kernel / block engine on TPU), so the
+    reference's play-while-editing loop works at the 1000-voice scale
+    that justifies the batch engines, not just one voice at a time.
+    Live topology edits migrate every voice's state across the swap.
 
     **Live patching**: the stream re-reads ``patch`` every block, exactly
     as the reference's audio callback picks up the UI thread's re-plan at
@@ -75,16 +85,30 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
     long-lived module objects (oscillator.rs:151-152).  Explicit ``params``
     pin parameter values (topology edits still apply); with the default
     ``params=None``, slider edits via ``patch.set_params`` go live on the
-    next block, like the reference's per-tick param reads."""
+    next block, like the reference's per-tick param reads (batched
+    streams replicate the patch's params across voices each block)."""
     compiled = compile_patch(patch, probes=probes,
                              automation=tuple(automation or ()))
     cfg = compiled.cfg
     block = cfg.block_size
+    batched = voices is not None
     pinned_params = params is not None
-    if params is None:
+    if batched:
+        if params is not None:
+            v_have = jax.tree.leaves(params)[0].shape[0]
+            if v_have != voices:
+                raise ValueError(
+                    f"params carry {v_have} voices, stream asked for "
+                    f"{voices}")
+        else:
+            params = replicate_params(compiled.default_params, voices)
+    elif params is None:
         params = compiled.default_params
     if state is None:
         state = compiled.init_state()
+        if batched:
+            state = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (voices,) + a.shape), state)
     if key is None:
         key = jax.random.PRNGKey(0)
     elif isinstance(key, int):
@@ -113,17 +137,27 @@ def render_stream(patch: Patch, *, params: Optional[dict] = None,
             state = migrate_state(compiled, new_compiled, state)
             compiled = new_compiled
             block = compiled.cfg.block_size
+            defaults = (replicate_params(compiled.default_params, voices)
+                        if batched else compiled.default_params)
             if not pinned_params:
-                params = compiled.default_params
+                params = defaults
+            else:
+                # pinned params follow the edit: surviving modules keep
+                # their pinned values, modules the edit added start from
+                # the patch's defaults, deleted ones drop out
+                params = {mid: params.get(mid, defaults[mid])
+                          for mid in defaults}
         elif not pinned_params:
-            params = patch.params()  # live slider edits, no recompile
+            # live slider edits, no recompile
+            live = patch.params()
+            params = replicate_params(live, voices) if batched else live
         key, sub = jax.random.split(key)
         autos_b = ({k: lane_block(v, consumed, block)
                     for k, v in automation.items()}
                    if automation else None)
         audio, probe_vals, state = compiled.render(
             block, params=params, state=state, key=sub,
-            automation=autos_b)
+            automation=autos_b, batched=batched, engine=engine)
         yield audio, probe_vals, state
         consumed += block
         i += 1
