@@ -63,45 +63,9 @@ def open_sink(kind, cfg, path="stream_out.wav"):
     return ("null", None)
 
 
-def paced_consume(stream, block_s, on_block=None, n_prime=2):
-    """The DAC-paced consumer loop (the cpal-callback replacement,
-    src/main.rs:59-90): pull blocks just-in-time against wall-clock
-    deadlines of ``block_s`` seconds, counting late blocks as underruns.
-
-    ``on_block(block)`` receives each numpy block (including the
-    ``n_prime`` warm-up blocks pulled before timing starts -- compiles
-    happen there, as the reference builds its plan before streaming).
-    Returns ``(underruns, worst_headroom, blocks_timed)``.  Imported by
-    tests/test_streaming.py so the shipped pacing logic IS the tested
-    logic.
-    """
-    for _ in range(n_prime):
-        audio = np.asarray(next(stream)[0])
-        if on_block is not None:
-            on_block(audio)
-    underruns = 0
-    worst_headroom = block_s
-    timed = 0
-    t0 = time.perf_counter()
-    deadline = t0
-    for audio, _, _ in stream:
-        block = np.asarray(audio)
-        now = time.perf_counter()
-        headroom = (deadline + block_s) - now
-        worst_headroom = min(worst_headroom, headroom)
-        if headroom < 0:
-            underruns += 1
-            deadline = now          # resync after a glitch, like a DAC
-        else:
-            deadline += block_s
-        # pace like a DAC: do not run ahead of real time
-        ahead = deadline - time.perf_counter()
-        if ahead > 0:
-            time.sleep(ahead)
-        timed += 1
-        if on_block is not None:
-            on_block(block)
-    return underruns, worst_headroom, timed
+# the pacing loop is a supported API now (srack_tpu.rt.paced_consume /
+# srack_tpu.play); re-exported here for back-compat with older snippets
+from srack_tpu.rt import paced_consume  # noqa: E402,F401
 
 
 def main(argv):

@@ -34,6 +34,7 @@ from .engine import (
 from .modules import CATALOG, ModuleDef
 from .modules import register as register_module
 from .modules import unregister as unregister_module
+from .rt import PlayStats, paced_consume, play
 from . import io, utils, parallel, presets
 
 __version__ = "0.1.0"
@@ -57,4 +58,7 @@ __all__ = [
     "ModuleDef",
     "register_module",
     "unregister_module",
+    "PlayStats",
+    "paced_consume",
+    "play",
 ]
