@@ -45,16 +45,25 @@ def _zero_ct(x):
 
 
 def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
-                   interpret: bool = None):
+                   bwd_unroll: int = 8, interpret: bool = None):
     """Build a differentiable batched render with Pallas fwd + bwd.
 
     Returns ``fn(params, state, keys, drivers) -> (audio, {}, final_state)``
     with gradients flowing to float params and float initial-state leaves.
+
+    ``bwd_unroll`` manually unrolls the backward kernel's two per-sample
+    loops (the in-chunk forward recompute and the reverse VJP sweep) --
+    Mosaic's ``fori_loop`` only supports unroll=1/full, and the unrolled
+    bodies dual-issue like the forward's (scripts/sweep_vjp.py: 8 beat 1
+    by ~1.6x on the subtractive voice at 1024x48k).
     """
     cfg = compiled.cfg
     np_ = ceil_to(n, t_chunk)
     n_chunks = np_ // t_chunk
     n_ch = cfg.channels
+    if t_chunk % bwd_unroll:
+        raise ValueError(f"bwd_unroll={bwd_unroll} must divide "
+                         f"t_chunk={t_chunk}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -255,7 +264,14 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                     jnp.broadcast_to(leaf, c.shape).astype(c.dtype)
                     for leaf, c in zip(jax.tree.leaves(new_state), carry))
 
-            jax.lax.fori_loop(0, t_chunk, fwd_body, start_leaves)
+            def fwd_body_u(jj, carry):
+                base = jj * bwd_unroll
+                for u in range(bwd_unroll):
+                    carry = fwd_body(base + u, carry)
+                return carry
+
+            jax.lax.fori_loop(0, t_chunk // bwd_unroll, fwd_body_u,
+                              start_leaves)
 
             # ---- reverse sweep ----
             def bwd_body(j, carry):
@@ -304,9 +320,16 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 new_pgrads = [pg + d for pg, d in zip(pgrads, dp)]
                 return tuple(ds) + tuple(new_pgrads)
 
+            def bwd_body_u(jj, carry):
+                base = jj * bwd_unroll
+                for u in range(bwd_unroll):
+                    carry = bwd_body(base + u, carry)
+                return carry
+
             carry0 = (tuple(cs[...] for cs in cts_scr)
                       + tuple(pg[...] for pg in pg_scr))
-            carry = jax.lax.fori_loop(0, t_chunk, bwd_body, carry0)
+            carry = jax.lax.fori_loop(0, t_chunk // bwd_unroll, bwd_body_u,
+                                      carry0)
             for cs, val in zip(cts_scr, carry[:n_sf]):
                 cs[...] = val
             for pg, val in zip(pg_scr, carry[n_sf:]):
