@@ -27,7 +27,7 @@ LANES = 128
 
 
 def build(comb_lens, ap_lens, n, t_c, *, scan=True, comb_roll=True,
-          allpass=True, n_comb=16, VB=32):
+          allpass=True, ap_roll=True, fs_col=True, n_comb=16, VB=32):
     n_ap = len(ap_lens)
     half_c = n_comb // 2
     half_a = n_ap // 2
@@ -79,14 +79,18 @@ def build(comb_lens, ap_lens, n, t_c, *, scan=True, comb_roll=True,
                     B = B + ds * _shift(B, s, 0.0)
                     ds = ds * ds
                     s <<= 1
-            fs_t = P * fs_ref[:, j:j + 1] + B
+            if fs_col:
+                fs_t = P * fs_ref[:, j:j + 1] + B
+            else:
+                fs_t = P * 0.5 + B  # no sub-vreg column read
             w = mixed + fs_t * feed
             if comb_roll:
                 h_refs[j][...] = (w if t_c == h.shape[1] else
                                   jnp.concatenate([h[:, t_c:], w], axis=1))
             else:
                 h_refs[j][:, :t_c] = w
-            fs_ref[:, j:j + 1] = fs_t[:, -1:]
+            if fs_col:
+                fs_ref[:, j:j + 1] = fs_t[:, -1:]
             ys.append(y)
 
         outs = [sum(ys[:half_c]) if half_c else mixed,
@@ -102,9 +106,12 @@ def build(comb_lens, ap_lens, n, t_c, *, scan=True, comb_roll=True,
                         delayed = h[:, :m]
                         w = x + delayed * 0.5
                         x = delayed - x
-                        h_refs[hj][...] = (w if m == h.shape[1] else
-                                           jnp.concatenate([h[:, m:], w],
-                                                           axis=1))
+                        if ap_roll:
+                            h_refs[hj][...] = (
+                                w if m == h.shape[1] else
+                                jnp.concatenate([h[:, m:], w], axis=1))
+                        else:
+                            h_refs[hj][:, :m] = w
                     pieces.append(x)
                 res = pieces[0] if len(pieces) == 1 else jnp.concatenate(
                     pieces, axis=1)
@@ -182,17 +189,23 @@ def timeit(name, comb_lens_v, ap_lens_v, hists, **kw):
 
 VARIANTS = [
     ("full", dict()),
-    ("full VB=64", dict(VB=64)),
     ("no-scan", dict(scan=False)),
+    ("no-comb-roll", dict(comb_roll=False)),
+    ("no-ap-roll", dict(ap_roll=False)),
+    ("no-allpass", dict(allpass=False)),
+    ("no-fs-col", dict(fs_col=False)),
+    ("no-rolls", dict(comb_roll=False, ap_roll=False)),
     ("bare (no scan/roll/ap)", dict(scan=False, comb_roll=False,
                                     allpass=False)),
-    ("bare VB=64", dict(scan=False, comb_roll=False, allpass=False, VB=64)),
     ("bare VB=16", dict(scan=False, comb_roll=False, allpass=False, VB=16)),
 ]
 for name, kw in VARIANTS:
     n_comb = kw.get("n_comb", 16)
     hists = hists_all[:n_comb] + hists_all[16:]
-    timeit(name, comb_lens, ap_lens, hists, **kw)
+    try:
+        timeit(name, comb_lens, ap_lens, hists, **kw)
+    except Exception as e:
+        log(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:200]}")
 
 # short-lines variant: same op structure, delay lines trimmed to t_c
 # (tests whether resident-line writeback traffic is the floor)

@@ -45,6 +45,22 @@ ALLPASS_FEEDBACK = 0.5
 # 11 -> 7 passes at the 48 kHz t_c of 1152).  Chunk-boundary carry
 # stays exact (the damp^(t+1) factor P covers all older history).
 DAMP_WINDOW = 128
+# The scan dominates the whole kernel (interleaved A/B, scripts/
+# ab_fv_parts10.py: no-scan saves 11.7 of the 17.9 ms/s-audio device
+# time), and most patches sit far below the damp=0.8 worst case (the
+# default dampening 0.5 -> damp 0.2, whose window-16 truncation error is
+# damp^16/(1-damp) ~ 8e-12).  The whole comb-update section therefore
+# runs in one of two ``pl.when`` tiers chosen per voice tile: a
+# window-16 fast tier when max(damp)^16/(1-max(damp)) <= DAMP_EPS (the
+# truncation error a window-16 scan leaves on audio-scale inputs), else
+# the full window-128 tier.  The comb *output* taps don't depend on the
+# scan (y is the oldest t_c samples, read before the writeback), so the
+# tiers predicate only ref writes -- no cross-region value spills.
+# (Per-comb predicated tails with scratch spills measured +30% at
+# damp=0.8, scripts/ab_fv_new.py; whole-section tiers replace them.)
+# Worst-case (damp -> 0.8) all 7 passes still run.
+DAMP_STATIC_WINDOW = 16
+DAMP_EPS = 1e-10
 
 
 def _shift(x, s, fill):
@@ -113,28 +129,46 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
         mixed = mixed_ref[...]
         P = pow_scr[...]
 
-        ys = []
-        for j in range(n_comb):
-            h = h_refs[j][...]
-            y = h[:, :t_c]
-            # damping one-pole fs[t] = damp*fs[t-1] + (1-damp)*y[t]: the
-            # coefficient is per-voice constant, so the log-doubling scan
-            # only carries B (one lane-shift per pass; the damp^s factor is
-            # a [rows, 1] scalar squared each pass)
-            B = y * one_m
-            ds = damp
-            s = 1
-            while s < min(t_c, DAMP_WINDOW):
-                B = B + ds * _shift(B, s, 0.0)
-                ds = ds * ds
-                s <<= 1
-            fs_t = P * fs_ref[:, j:j + 1] + B
-            w = mixed + fs_t * feed
-            # (empty [rows, 0] slices are invalid Mosaic vectors)
-            h_refs[j][...] = (w if t_c == h.shape[1] else
-                              jnp.concatenate([h[:, t_c:], w], axis=1))
-            fs_ref[:, j:j + 1] = fs_t[:, -1:]
-            ys.append(y)
+        # comb output taps don't depend on the damping scan: y is the
+        # oldest t_c samples of each line, read before the writeback
+        ys = [h_refs[j][:, :t_c] for j in range(n_comb)]
+
+        def comb_update(window):
+            """Damping scan + line writeback for all 16 combs at the given
+            truncation window.  fs[t] = damp*fs[t-1] + (1-damp)*y[t]: the
+            coefficient is per-voice constant, so the log-doubling scan
+            only carries B (one lane-shift per pass; the damp^s factor is
+            a [rows, 1] scalar squared each pass)."""
+            for j in range(n_comb):
+                B = ys[j] * one_m
+                ds = damp
+                s = 1
+                while s < min(t_c, window):
+                    B = B + ds * _shift(B, s, 0.0)
+                    ds = ds * ds
+                    s <<= 1
+                fs_t = P * fs_ref[:, j:j + 1] + B
+                w = mixed + fs_t * feed
+                h = h_refs[j][...]
+                # (empty [rows, 0] slices are invalid Mosaic vectors)
+                h_refs[j][...] = (w if t_c == h.shape[1] else
+                                  jnp.concatenate([h[:, t_c:], w], axis=1))
+                fs_ref[:, j:j + 1] = fs_t[:, -1:]
+
+        full_w = min(t_c, DAMP_WINDOW)
+        if full_w <= DAMP_STATIC_WINDOW:
+            comb_update(full_w)
+        else:
+            dmax = jnp.max(gp_ref[:, 0])
+            need = dmax ** DAMP_STATIC_WINDOW > DAMP_EPS * (1.0 - dmax)
+
+            @pl.when(jnp.logical_not(need))
+            def _():
+                comb_update(DAMP_STATIC_WINDOW)
+
+            @pl.when(need)
+            def _():
+                comb_update(full_w)
 
         outs = [sum(ys[:half_c]), sum(ys[half_c:])]
         for ch in range(2):

@@ -106,6 +106,36 @@ def test_truncated_damping_window(monkeypatch):
     fvk._build.cache_clear()
 
 
+def test_fast_damping_tier():
+    """Low damp takes the window-16 fast tier (ops/freeverb_kernel.py
+    DAMP_STATIC_WINDOW): at damp=0.15 the tier predicate
+    dmax^16 > DAMP_EPS*(1-dmax) is False (0.15^16 ~ 6.6e-14), the scan
+    truncates at 16 taps, and the truncation error (~1e-14 on 0.1-scale
+    inputs) sits far below the float32 tolerance."""
+    rng = np.random.default_rng(3)
+    n, t_c = 256, 128
+    mixed = rng.normal(size=n).astype(np.float32) * 0.1
+    fs0 = rng.normal(size=16).astype(np.float32) * 0.1
+    damp, feed = np.float32(0.15), np.float32(0.84)
+    hists = [rng.normal(size=l).astype(np.float32) * 0.1
+             for l in COMB_LENS + AP_LENS]
+
+    fn = fvk.entry(COMB_LENS, AP_LENS, n, t_c)
+    outs = fn(jnp.asarray(mixed), jnp.asarray(fs0),
+              jnp.asarray(damp), jnp.asarray(feed),
+              *[jnp.asarray(h) for h in hists])
+    want_l, want_r, want_fs, want_h = _reference(mixed, fs0, damp, feed,
+                                                 hists)
+    np.testing.assert_allclose(np.asarray(outs[0]), want_l,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want_r,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[2]), want_fs,
+                               atol=2e-5, rtol=2e-5)
+    for g, w in zip([np.asarray(h) for h in outs[3:]], want_h):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
+
+
 def test_kernel_batched_rows():
     import jax
 
