@@ -60,9 +60,14 @@ for (tc, bu) in VARIANTS:
 
     fn = jax.jit(step)
     t0 = time.perf_counter()
-    tr, os_, loss = fn(ts["train"], ts["frozen"], opt.init(ts["train"]),
-                       targets, keys)
-    l0 = float(loss)
+    try:
+        tr, os_, loss = fn(ts["train"], ts["frozen"], opt.init(ts["train"]),
+                           targets, keys)
+        l0 = float(loss)
+    except Exception as e:
+        # e.g. (256, *) per-sample store scratch exceeds the 16 MB VMEM
+        log(f"tc={tc} bu={bu}: FAILED {type(e).__name__}: {str(e)[:160]}")
+        continue
     log(f"tc={tc} bu={bu}: compile={time.perf_counter()-t0:.1f}s "
         f"loss={l0:.4f}")
     meters[(tc, bu)] = fn

@@ -50,17 +50,27 @@ DAMP_WINDOW = 128
 # time), and most patches sit far below the damp=0.8 worst case (the
 # default dampening 0.5 -> damp 0.2, whose window-16 truncation error is
 # damp^16/(1-damp) ~ 8e-12).  The whole comb-update section therefore
-# runs in one of two ``pl.when`` tiers chosen per voice tile: a
-# window-16 fast tier when max(damp)^16/(1-max(damp)) <= DAMP_EPS (the
-# truncation error a window-16 scan leaves on audio-scale inputs), else
-# the full window-128 tier.  The comb *output* taps don't depend on the
-# scan (y is the oldest t_c samples, read before the writeback), so the
-# tiers predicate only ref writes -- no cross-region value spills.
-# (Per-comb predicated tails with scratch spills measured +30% at
-# damp=0.8, scripts/ab_fv_new.py; whole-section tiers replace them.)
-# Worst-case (damp -> 0.8) all 7 passes still run.
-DAMP_STATIC_WINDOW = 16
-DAMP_EPS = 1e-10
+# runs in ONE of several ``pl.when`` tiers chosen per voice tile: the
+# narrowest window W in DAMP_TIERS with max(damp)^W/(1-max(damp)) <=
+# DAMP_EPS (the truncation error a window-W scan leaves on unit-scale
+# inputs), else the full DAMP_WINDOW tier.  The comb *output* taps don't
+# depend on the scan (y is the oldest t_c samples, read before the
+# writeback), so the tiers predicate only ref writes -- no cross-region
+# value spills.  (Per-comb predicated tails with scratch spills measured
+# +30% at damp=0.8, scripts/ab_fv_new.py; whole-section tiers replace
+# them: -20% at damp 0.2, +3% at 0.8.)  Worst-case all 7 passes run.
+#
+# DAMP_EPS = 1e-6: the truncated term feeds the comb's feedback loop
+# (gain feed <= 0.84 -> amplification <= ~6x), so worst-case output error
+# is ~6e-6 on full-scale audio -- 3x under the kernel's own parity
+# tolerance (2e-5, tests/test_freeverb_kernel.py) and of the same order
+# as the scan's inherent f32 reassociation noise.  Tier coverage at this
+# eps: W=8 reaches damp <= ~0.17 (bench reverb preset: dampening 0.4 ->
+# damp 0.16), W=16 reaches damp <= ~0.42 (default dampening 0.5 -> 0.2),
+# everything else (damp <= 0.8 by construction) runs the full window,
+# whose own truncation (0.8^128 ~ 4e-13) stays sub-f32-rounding.
+DAMP_TIERS = (8, 16)
+DAMP_EPS = 1e-6
 
 
 def _shift(x, s, fill):
@@ -156,17 +166,25 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                 fs_ref[:, j:j + 1] = fs_t[:, -1:]
 
         full_w = min(t_c, DAMP_WINDOW)
-        if full_w <= DAMP_STATIC_WINDOW:
+        tiers = [w for w in DAMP_TIERS if w < full_w]
+        if not tiers:
             comb_update(full_w)
         else:
             dmax = jnp.max(gp_ref[:, 0])
-            need = dmax ** DAMP_STATIC_WINDOW > DAMP_EPS * (1.0 - dmax)
+            lim = DAMP_EPS * (1.0 - dmax)
+            # need[k]: window tiers[k] is NOT sufficient (truncation error
+            # above DAMP_EPS); tier k runs iff the previous window was
+            # insufficient and this one is -- exactly one region executes
+            need = [dmax ** w > lim for w in tiers]
+            for k, w in enumerate(tiers):
+                ok = jnp.logical_not(need[k])
+                cond = ok if k == 0 else jnp.logical_and(need[k - 1], ok)
 
-            @pl.when(jnp.logical_not(need))
-            def _():
-                comb_update(DAMP_STATIC_WINDOW)
+                @pl.when(cond)
+                def _(w=w):
+                    comb_update(w)
 
-            @pl.when(need)
+            @pl.when(need[-1])
             def _():
                 comb_update(full_w)
 

@@ -7,6 +7,7 @@ line roll-over across chunks, and the series allpass sub-piece order.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from srack_tpu.ops import freeverb_kernel as fvk
@@ -78,8 +79,10 @@ def test_truncated_damping_window(monkeypatch):
     """The damping scan truncates at DAMP_WINDOW taps (damp <= 0.8 makes
     older contributions sub-f32-rounding).  The default window (128) only
     engages at t_c > 128; shrink it to 32 here so the truncated code path
-    runs at the cheap interpret-mode shape, with damp small enough
-    (0.3^32 ~ 2e-17) that truncation stays below the float tolerance."""
+    runs at the cheap interpret-mode shape.  damp=0.6 forces the FULL
+    tier (0.6^16 ~ 2.8e-4 > DAMP_EPS, so no adaptive tier engages) while
+    its window-32 truncation (0.6^32 ~ 8e-8) stays below the float
+    tolerance."""
     monkeypatch.setattr(fvk, "DAMP_WINDOW", 32)
     fvk._build.cache_clear()
 
@@ -87,7 +90,7 @@ def test_truncated_damping_window(monkeypatch):
     n, t_c = 256, 128
     mixed = rng.normal(size=n).astype(np.float32) * 0.1
     fs0 = rng.normal(size=16).astype(np.float32) * 0.1
-    damp, feed = np.float32(0.3), np.float32(0.84)
+    damp, feed = np.float32(0.6), np.float32(0.84)
     hists = [rng.normal(size=l).astype(np.float32) * 0.1
              for l in COMB_LENS + AP_LENS]
 
@@ -106,17 +109,20 @@ def test_truncated_damping_window(monkeypatch):
     fvk._build.cache_clear()
 
 
-def test_fast_damping_tier():
-    """Low damp takes the window-16 fast tier (ops/freeverb_kernel.py
-    DAMP_STATIC_WINDOW): at damp=0.15 the tier predicate
-    dmax^16 > DAMP_EPS*(1-dmax) is False (0.15^16 ~ 6.6e-14), the scan
-    truncates at 16 taps, and the truncation error (~1e-14 on 0.1-scale
-    inputs) sits far below the float32 tolerance."""
+@pytest.mark.parametrize("damp_v", [0.15, 0.35, 0.6])
+def test_damping_tiers(damp_v):
+    """Each damping-scan tier (ops/freeverb_kernel.py DAMP_TIERS) against
+    the per-sample reference: damp=0.15 takes the window-8 tier
+    (0.15^8 ~ 2.6e-7 <= DAMP_EPS*(1-damp)), 0.35 the window-16 tier
+    (0.35^8 ~ 2.2e-4 insufficient, 0.35^16 ~ 5e-8 sufficient), 0.6 the
+    full window.  Tier truncation errors (amplified <= ~6x by the comb
+    feedback) all sit below the float32 parity tolerance by design
+    (DAMP_EPS rationale in the kernel header)."""
     rng = np.random.default_rng(3)
     n, t_c = 256, 128
     mixed = rng.normal(size=n).astype(np.float32) * 0.1
     fs0 = rng.normal(size=16).astype(np.float32) * 0.1
-    damp, feed = np.float32(0.15), np.float32(0.84)
+    damp, feed = np.float32(damp_v), np.float32(0.84)
     hists = [rng.normal(size=l).astype(np.float32) * 0.1
              for l in COMB_LENS + AP_LENS]
 
