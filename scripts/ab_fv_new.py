@@ -70,7 +70,13 @@ err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9)
 log(f"parity max rel err new-vs-old (1 s, 8 voices): {err:.3e}")
 
 damp_hi = jnp.full((V,), 0.8, jnp.float32)
-cases = {("new", 0.2): (meters["new"], damp),
+# 0.16 = the bench reverb preset (dampening 0.4): window-8 tier
+# 0.2  = default dampening 0.5: window-16 tier
+# 0.8  = worst case: full window
+damp_lo = jnp.full((V,), 0.16, jnp.float32)
+cases = {("new", 0.16): (meters["new"], damp_lo),
+         ("old", 0.16): (meters["old"], damp_lo),
+         ("new", 0.2): (meters["new"], damp),
          ("old", 0.2): (meters["old"], damp),
          ("new", 0.8): (meters["new"], damp_hi),
          ("old", 0.8): (meters["old"], damp_hi)}
