@@ -11,7 +11,7 @@ that change the op weight show up as failures, and the doc's arithmetic
 Measured device cycles come from scripts/ab_sequencer.py (interleaved,
 transport-nulled) and are recorded in the doc; the traced counts here are
 the machine-checkable anchor for the patch *weights* (sequencer traces
-~6x the subtractive ops and measures ~5.8x the cycles).
+~6x the subtractive ops and measures ~5.7x the cycles).
 """
 
 from collections import Counter
@@ -90,7 +90,10 @@ def test_traced_op_counts_in_band():
 
 def test_sequencer_ceiling_arithmetic():
     """The doc's structural ceiling must follow from its own inputs:
-    ceiling = voices * clock_hz / device_cycles_per_sample."""
-    voices, clock_hz, cycles = 1024, 940e6, 237.0  # doc's recorded inputs
+    ceiling = voices * clock_hz / device_cycles_per_sample.  Inputs are
+    the round-4 transport-nulled measurement (scripts/ab_sequencer.py,
+    2026-08-19: full config 231.7 dev-cycles/sample, measured device rate
+    4.16 G -- at the asymptote)."""
+    voices, clock_hz, cycles = 1024, 940e6, 231.7  # doc's recorded inputs
     ceiling = voices * clock_hz / cycles
-    assert abs(ceiling - 4.06e9) / 4.06e9 < 0.01
+    assert abs(ceiling - 4.15e9) / 4.15e9 < 0.01
