@@ -58,7 +58,10 @@ DAMP_WINDOW = 128
 # writeback), so the tiers predicate only ref writes -- no cross-region
 # value spills.  (Per-comb predicated tails with scratch spills measured
 # +30% at damp=0.8, scripts/ab_fv_new.py; whole-section tiers replace
-# them: -20% at damp 0.2, +3% at 0.8.)  Worst-case all 7 passes run.
+# them.)  Measured (scripts/ab_fv_new.py, 10 s x 1024 voices, v5e):
+# 12.15 ms/s-audio device at damp 0.16 (window 8) / 13.21 at 0.2
+# (window 16) / 18.43 at 0.8 (full; +3.6% over the old always-full scan's
+# 17.7 -- the predicate's cost).  Worst-case all 7 passes run.
 #
 # DAMP_EPS = 1e-6: the truncated term feeds the comb's feedback loop
 # (gain feed <= 0.84 -> amplification <= ~6x), so worst-case output error
