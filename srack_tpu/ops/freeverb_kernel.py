@@ -151,7 +151,12 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
             truncation window.  fs[t] = damp*fs[t-1] + (1-damp)*y[t]: the
             coefficient is per-voice constant, so the log-doubling scan
             only carries B (one lane-shift per pass; the damp^s factor is
-            a [rows, 1] scalar squared each pass)."""
+            a [rows, 1] scalar squared each pass).  The filter-state row
+            is read/written ONCE per chunk (one [VB, 128] load, one packed
+            store) -- 32 per-comb sub-vreg column accesses measured
+            ~1.8 ms/s-audio (probe_fv_parts.py no-fs-col)."""
+            fs_all = fs_ref[...]
+            cols = []
             for j in range(n_comb):
                 B = ys[j] * one_m
                 ds = damp
@@ -160,13 +165,15 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                     B = B + ds * _shift(B, s, 0.0)
                     ds = ds * ds
                     s <<= 1
-                fs_t = P * fs_ref[:, j:j + 1] + B
+                fs_t = P * fs_all[:, j:j + 1] + B
                 w = mixed + fs_t * feed
                 h = h_refs[j][...]
                 # (empty [rows, 0] slices are invalid Mosaic vectors)
                 h_refs[j][...] = (w if t_c == h.shape[1] else
                                   jnp.concatenate([h[:, t_c:], w], axis=1))
-                fs_ref[:, j:j + 1] = fs_t[:, -1:]
+                cols.append(fs_t[:, -1:])
+            fs_ref[...] = jnp.concatenate(cols + [fs_all[:, n_comb:]],
+                                          axis=1)
 
         full_w = min(t_c, DAMP_WINDOW)
         tiers = [w for w in DAMP_TIERS if w < full_w]
@@ -193,19 +200,25 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
 
         outs = [sum(ys[:half_c]), sum(ys[half_c:])]
         for ch in range(2):
+            # allpass lines roll in REGISTERS across the span pieces and
+            # write back once per chunk: per-piece ref rolls rebuilt each
+            # full line len(spans) times per chunk (~1.5 ms/s-audio,
+            # probe_fv_parts.py no-ap-roll)
+            hjs = [n_comb + ch * half_a + a for a in range(half_a)]
+            h_vals = [h_refs[hj][...] for hj in hjs]
             pieces = []
             for (p0, m) in spans:
                 x = outs[ch][:, p0:p0 + m]
                 for a in range(half_a):
-                    hj = n_comb + ch * half_a + a
-                    h = h_refs[hj][...]
+                    h = h_vals[a]
                     delayed = h[:, :m]
                     w = x + delayed * ALLPASS_FEEDBACK
                     x = delayed - x
-                    h_refs[hj][...] = (w if m == h.shape[1] else
-                                       jnp.concatenate([h[:, m:], w],
-                                                       axis=1))
+                    h_vals[a] = (w if m == h.shape[1] else
+                                 jnp.concatenate([h[:, m:], w], axis=1))
                 pieces.append(x)
+            for hj, h in zip(hjs, h_vals):
+                h_refs[hj][...] = h
             res = pieces[0] if len(pieces) == 1 else jnp.concatenate(
                 pieces, axis=1)
             (out_l_ref if ch == 0 else out_r_ref)[...] = res
