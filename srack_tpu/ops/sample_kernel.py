@@ -6,17 +6,16 @@ prefix-sum, trigger forward-fill, threshold/clip -- that XLA + the
 individual scan kernels execute as ~8 separate HBM round trips over the
 [voices, n] lanes (measured ~19 ms of the ~30 ms Sample block at
 [1024 x 96000], scripts/probe_sample_parts.py).  This kernel computes the
-entire pipeline in ONE chunked VMEM pass (gate+cv in, gather indices
-out), and additionally emits the window-base / residual-range summaries
-the windowed table gather (ops/sample_gather) otherwise recomputes from
-the index array in XLA (3 more passes).
+entire pipeline AND the windowed table read in ONE chunked VMEM pass
+(gate+cv lanes in, audio out): the gather indices and their window
+summaries never leave registers -- see :func:`_make_kernel` for why the
+two-kernel split was the sampler_kit's binding cost.
 
 Semantics are the Sample block path's, which are the reference's serial
 player (src/synth/sample.rs:215-236): rising gate edge restarts playback,
 position is a segmented prefix sum of ``(wav_sr/sr) * 2^cv`` rates,
 running past the end emits ``samples[0]`` and stops -- folded here into
-``idx = 0`` where crossed (``samples[0]`` IS the read at index 0), so the
-kernel's only lane output is the final gather index.
+``idx = 0`` where crossed (``samples[0]`` IS the read at index 0).
 
 The in-chunk rate prefix sum replicates ops/scan_kernel's exact structure
 (same T_CHUNK, same Hillis-Steele shift order, carry folded after the
@@ -51,7 +50,21 @@ def _shift(x, s, fill):
 
 
 def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
-    """Grid (rows/rb, n_pad/T_CH); per-row-tile carries in scratch.
+    """FUSED position+gather kernel: gate (+cv) lanes in, audio out --
+    grid (rows/rb, n_pad/T_CH); per-row-tile carries in scratch.
+
+    The gather indices and their window summaries never leave registers:
+    the two-kernel split (position kernel -> idx/summaries through
+    HBM+SMEM -> windowed gather kernel) paid the idx lanes' HBM write AND
+    re-read plus a second kernel's streaming setup -- ~18 ms per pair at
+    [1024 x 96000] vs 12-14 ms fused, device k=1 13.9 ms (~7.1 G
+    samples/s per 48k-frame Sample; scripts/probe_smp_scaling.py, linear
+    in the number of Samples).  Per column block the
+    kernel computes idx, takes the per-row window slabs (scalar chunk
+    bases via a [rb, 1] VMEM scratch round-trip -- Mosaic supports scalar
+    reads of just-written VMEM, scripts/probe_scalar_extract.py; SMEM
+    scratch only stores scalars), and falls back to a predicated
+    residual-chunk loop exactly like ops/sample_gather._make_kernel.
 
     ``cv_none``: the module's CV input is unconnected, so the rate is the
     per-row constant ``base`` and the position prefix sum collapses to
@@ -61,16 +74,19 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
     same exactly-representable iota -- no summation order involved)."""
     t_last = (n - 1) // T_CH
     j_last = (n - 1) % T_CH
-    small = -(-k // LANES) <= sample_gather.SMALL_CHUNKS
+    n_chunks = _ceil_to(k, LANES) // LANES
+    small = n_chunks <= sample_gather.SMALL_CHUNKS
 
     def kernel(*refs):
         if cv_none:
-            (gate_ref, par_ref, idx_ref, basec_ref, umin_ref,
-             umax_ref, st_ref, c_max, c_last) = refs
+            gate_ref, par_ref, tbl_ref, out_ref, st_ref = refs[:5]
+            scr = refs[5:]
             cv_ref = c_cum = None
         else:
-            (gate_ref, cv_ref, par_ref, idx_ref, basec_ref, umin_ref,
-             umax_ref, st_ref, c_cum, c_max, c_last) = refs
+            gate_ref, cv_ref, par_ref, tbl_ref, out_ref, st_ref = refs[:6]
+            c_cum, scr = refs[6], refs[7:]
+        c_max, c_last = scr[0], scr[1]
+        b_scr = None if small else scr[2]
         t = pl.program_id(1)
 
         # per-row params from SMEM
@@ -132,44 +148,73 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
         crossed = pos >= len_f
         idx = jnp.clip(pos.astype(jnp.int32), 0, k - 1)
         idx = jnp.where(crossed, 0, idx)
-        idx_ref[...] = idx
 
+        # ---- in-register windowed gather (ops/sample_gather semantics,
+        # same formulas -> identical reads) ----
         if small:
-            # small tables take the gather's static whole-table path --
-            # the window summaries are never read (write the cheapest
-            # well-defined values)
-            z = jnp.zeros((rb, LANES), jnp.int32)
-            basec_ref[...] = z
-            umin_ref[...] = z
-            umax_ref[...] = jnp.full((rb, LANES), -1, jnp.int32)
-        else:
-            # window-base / residual summaries for the table gather.  Each
-            # per-column-block scalar lands in lane b of a [rb, 128] tile
-            # (Mosaic VMEM blocks must be (8,128)-tileable -- a [rb, 16]
-            # output block is not); the cross-row tile reduction for the
-            # residual ranges happens in XLA on the [rp, nb] summaries.
-            lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
-            basec_acc = jnp.zeros((rb, LANES), jnp.int32)
-            umin_acc = jnp.full((rb, LANES), BIG, jnp.int32)
-            umax_acc = jnp.full((rb, LANES), -1, jnp.int32)
+            # static whole-table match (sample_gather._make_small_kernel)
             for b in range(NBLK):
-                blk = idx[:, b * LANES:(b + 1) * LANES]
-                if b % G == 0:
-                    base_pair = jnp.right_shift(blk[:, :1], 7)
-                basec_acc = jnp.where(lane_i == b, base_pair, basec_acc)
-                local = blk - (base_pair << 7)
-                covered = jnp.logical_or(
-                    jnp.logical_and(local >= 0, local < WA * LANES),
-                    blk < WB * LANES)
-                unc_min = jnp.min(jnp.where(covered, BIG, blk), axis=1,
-                                  keepdims=True)
-                unc_max = jnp.max(jnp.where(covered, -1, blk), axis=1,
-                                  keepdims=True)
-                umin_acc = jnp.where(lane_i == b, unc_min, umin_acc)
-                umax_acc = jnp.where(lane_i == b, unc_max, umax_acc)
-            basec_ref[...] = basec_acc
-            umin_ref[...] = umin_acc
-            umax_ref[...] = umax_acc
+                ix = idx[:, b * LANES:(b + 1) * LANES]
+                hi = jnp.right_shift(ix, 7)
+                lo = jnp.bitwise_and(ix, 127)
+                acc = jnp.zeros((rb, LANES), jnp.float32)
+                for c in range(n_chunks):
+                    gth = jnp.take_along_axis(tbl_ref[:, c, :], lo, axis=1)
+                    acc = jnp.where(hi == c, gth, acc)
+                out_ref[:, b * LANES:(b + 1) * LANES] = acc
+        else:
+            for kk in range(NBLK // G):
+                # one [WA, 128] sublane slab per row serves G column
+                # blocks; the per-row scalar chunk bases come from the
+                # just-computed idx via a [rb, 1] VMEM scratch round-trip
+                blk0 = idx[:, kk * G * LANES: kk * G * LANES + 1]
+                base_v = jnp.right_shift(blk0, 7)            # [rb, 1]
+                b_scr[...] = base_v
+                slabs = jnp.stack(
+                    [tbl_ref[r, pl.ds(b_scr[r, 0], WA), :]
+                     for r in range(rb)])
+                for g_i in range(G):
+                    b = kk * G + g_i
+                    ix = idx[:, b * LANES:(b + 1) * LANES]
+                    hi = jnp.right_shift(ix, 7)
+                    lo = jnp.bitwise_and(ix, 127)
+                    acc = jnp.zeros((rb, LANES), jnp.float32)
+                    for w in range(WA):
+                        gth = jnp.take_along_axis(slabs[:, w, :], lo,
+                                                  axis=1)
+                        acc = jnp.where(hi == base_v + w, gth, acc)
+                    # table-head window (trigger restarts / end reset)
+                    for c in range(WB):
+                        gth = jnp.take_along_axis(tbl_ref[:, c, :], lo,
+                                                  axis=1)
+                        acc = jnp.where(hi == c, gth, acc)
+                    # residual chunk range: full-tile reduction of the
+                    # uncovered indices (the two-kernel split reduced the
+                    # same mask in XLA across the row tile)
+                    local = ix - (base_v << 7)
+                    covered = jnp.logical_or(
+                        jnp.logical_and(local >= 0, local < WA * LANES),
+                        ix < WB * LANES)
+                    r0 = jnp.right_shift(
+                        jnp.min(jnp.where(covered, BIG, ix)), 7)
+                    r1 = jnp.right_shift(jnp.maximum(
+                        jnp.max(jnp.where(covered, -1, ix)), -1), 7)
+                    sl = slice(b * LANES, (b + 1) * LANES)
+
+                    @pl.when(r1 < r0)
+                    def _(acc=acc, sl=sl):
+                        out_ref[:, sl] = acc
+
+                    @pl.when(r1 >= r0)
+                    def _(acc=acc, lo=lo, hi=hi, sl=sl, r0=r0, r1=r1):
+                        def body(c, a):
+                            win = tbl_ref[:, pl.ds(c, 1), :].reshape(
+                                rb, LANES)
+                            gth = jnp.take_along_axis(win, lo, axis=1)
+                            return jnp.where(hi == c, gth, a)
+
+                        out_ref[:, sl] = jax.lax.fori_loop(
+                            r0, r1 + 1, body, acc)
 
         # end-of-render state at the true last sample (n-1)
         @pl.when(t == t_last)
@@ -196,23 +241,24 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8))
-def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
-                    length, k, interpret):
-    """[R, n] lanes + [R] per-row params -> padded kernel outputs.
+@functools.partial(jax.jit, static_argnums=(8, 9))
+def _fused_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
+                length, k, interpret):
+    """[R, n] lanes + [R, K] tables + [R] per-row params -> ONE kernel
+    dispatch producing (read [R, np_], pos_end [R], playing_end [R] bool,
+    gate_last [R] bool).
 
     ``cv`` may be ``None`` (unconnected CV input): the kernel takes the
     constant-rate path (positions = base * iota, no prefix-sum passes, no
-    cv lane streamed from HBM).
-
-    Returns (idx [rp, np], basec [rp, nb], r0 [rt, 1, nb], r1 [rt, 1, nb],
-    pos_end [R], playing_end [R] bool, gate_last [R] bool) with
-    rp/np/rt = the gather kernel's padding for table length ``k``."""
+    cv lane streamed from HBM)."""
     r, n = gate.shape
     cv_none = cv is None
     rb = sample_gather._pick_rb(k) or 8
     rp = _ceil_to(max(r, 1), rb)
     np_ = _ceil_to(n, T_CH)
+    n_chunks = _ceil_to(k, LANES) // LANES
+    small = n_chunks <= sample_gather.SMALL_CHUNKS
+    nc_eff = n_chunks if small else n_chunks + WA
 
     def padv(a, fill=0.0):
         return jnp.pad(a, ((0, rp - a.shape[0]),) + ((0, 0),) * (a.ndim - 1),
@@ -228,9 +274,10 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
         length.astype(jnp.float32),
         gate_last0.astype(jnp.float32),
     ], axis=1))
+    tbl3d = jnp.pad(
+        table, ((0, rp - r), (0, nc_eff * LANES - k))
+    ).reshape(rp, nc_eff, LANES)
 
-    nb = np_ // LANES
-    nt = np_ // T_CH
     lane = pl.BlockSpec((rb, T_CH), lambda rr, tt: (rr, tt),
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -239,47 +286,33 @@ def _positions_rows(gate, cv, base_rate, pos0, playing0, gate_last0,
         in_specs=([lane] if cv_none else [lane, lane]) + [
             pl.BlockSpec((rb, 5), lambda rr, tt: (rr, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, nc_eff, LANES), lambda rr, tt: (rr, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             lane,
-            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, tt),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, LANES), lambda rr, tt: (rr, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp, np_), jnp.int32),
-            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rp, nt * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rp, np_), jnp.float32),
             jax.ShapeDtypeStruct((rp, LANES), jnp.float32),
         ],
         scratch_shapes=(
             ([] if cv_none else [pltpu.VMEM((rb, LANES), jnp.float32)])
             + [pltpu.VMEM((rb, LANES), jnp.float32),
-               pltpu.VMEM((rb, LANES), jnp.int32)]),
+               pltpu.VMEM((rb, LANES), jnp.int32)]
+            + ([] if small else [pltpu.VMEM((rb, 1), jnp.int32)])),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*([gate_p] if cv_none else [gate_p, cv_p]), par)
-    idx, basec_b, umin_b, umax_b, st = outs
-
-    def unblk(a):  # [rp, nt*128] lane-b summaries -> [rp, nb]
-        return a.reshape(rp, nt, LANES)[:, :, :NBLK].reshape(rp, nb)
-
-    basec = unblk(basec_b)
-    umin = unblk(umin_b).reshape(rp // rb, rb, nb).min(axis=1)
-    umax = unblk(umax_b).reshape(rp // rb, rb, nb).max(axis=1)
-    r0 = jnp.right_shift(umin, 7)[:, None, :]
-    r1 = jnp.right_shift(jnp.maximum(umax, -1), 7)[:, None, :]
+    )(*([gate_p] if cv_none else [gate_p, cv_p]), par, tbl3d)
+    read, st = outs
+    read = read[:r]
     pos_end = st[:r, 0]
     playing_end = st[:r, 1] > 0.0
     gate_last = st[:r, 2] > 0.0
-    return idx, basec, r0, r1, pos_end, playing_end, gate_last
+    return read, pos_end, playing_end, gate_last
 
 
 def eligible(table, gate, n: int) -> bool:
@@ -299,11 +332,9 @@ def _play_impl(gate, cv, table, base_rate, pos0, playing0, gate_last0,
     interpret = jax.default_backend() != "tpu"
     _, n = gate.shape
     k = table.shape[-1]
-    idx, basec, r0, r1, pos_end, playing_end, gate_last = _positions_rows(
-        gate, cv, base_rate, pos0, playing0, gate_last0, length, k,
+    read, pos_end, playing_end, gate_last = _fused_rows(
+        gate, cv, table, base_rate, pos0, playing0, gate_last0, length, k,
         interpret)
-    read = sample_gather._gather_precomputed(table, idx, basec, r0, r1, n,
-                                             interpret)
     out = jnp.where(length[:, None] > 0, read[:, :n], 0.0)
     return out, pos_end, playing_end, gate_last
 
