@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import sample_gather
-from .sample_gather import G, LANES, NBLK, T_CH, WA, WB, _ceil_to
+from .sample_gather import LANES, NBLK, T_CH, WA, WB, _ceil_to
 
 BIG = 2 ** 30
 
@@ -150,34 +150,92 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
         idx = jnp.where(crossed, 0, idx)
 
         # ---- in-register windowed gather (ops/sample_gather semantics,
-        # same formulas -> identical reads) ----
+        # same read values -> bit-identical output) ----
+        #
+        # Per column block, one of three predicated tiers runs (tile-wide
+        # scalar conditions; the common tiers are 3-6x fewer vector ops
+        # than the general window):
+        #   stopped: idx == 0 everywhere (silent tail / not yet
+        #     triggered) -> broadcast table[0];
+        #   consecutive: idx == idx[:,0] + lane (rate exactly 1.0 steady
+        #     state -- the wav_sr == sr, CV-unconnected case every drum
+        #     kit hits, sample.rs:233-234 law) -> the read is a shifted
+        #     window copy: one 2-chunk slab + 2 take_alongs (the span of
+        #     128 consecutive indices crosses at most one chunk edge);
+        #   general: the WA-slab + WB-head + residual-loop window
+        #     (trigger-edge and non-unit-rate blocks).
+        # Benchmarks replicate one patch across voices, so edges land in
+        # the same block tile-wide and ~98% of playing blocks take the
+        # consecutive tier at kit trigger densities.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
         if small:
             # static whole-table match (sample_gather._make_small_kernel)
+            # with the stopped tier predicating away the select chain
             for b in range(NBLK):
                 ix = idx[:, b * LANES:(b + 1) * LANES]
-                hi = jnp.right_shift(ix, 7)
-                lo = jnp.bitwise_and(ix, 127)
-                acc = jnp.zeros((rb, LANES), jnp.float32)
-                for c in range(n_chunks):
-                    gth = jnp.take_along_axis(tbl_ref[:, c, :], lo, axis=1)
-                    acc = jnp.where(hi == c, gth, acc)
-                out_ref[:, b * LANES:(b + 1) * LANES] = acc
-        else:
-            for kk in range(NBLK // G):
-                # one [WA, 128] sublane slab per row serves G column
-                # blocks; the per-row scalar chunk bases come from the
-                # just-computed idx via a [rb, 1] VMEM scratch round-trip
-                blk0 = idx[:, kk * G * LANES: kk * G * LANES + 1]
-                base_v = jnp.right_shift(blk0, 7)            # [rb, 1]
-                b_scr[...] = base_v
-                slabs = jnp.stack(
-                    [tbl_ref[r, pl.ds(b_scr[r, 0], WA), :]
-                     for r in range(rb)])
-                for g_i in range(G):
-                    b = kk * G + g_i
-                    ix = idx[:, b * LANES:(b + 1) * LANES]
+                sl = slice(b * LANES, (b + 1) * LANES)
+                zb = jnp.all(ix == 0)
+
+                @pl.when(zb)
+                def _(sl=sl):
+                    out_ref[:, sl] = jnp.broadcast_to(
+                        tbl_ref[:, 0, 0:1], (rb, LANES))
+
+                @pl.when(jnp.logical_not(zb))
+                def _(ix=ix, sl=sl):
                     hi = jnp.right_shift(ix, 7)
                     lo = jnp.bitwise_and(ix, 127)
+                    acc = jnp.zeros((rb, LANES), jnp.float32)
+                    for c in range(n_chunks):
+                        gth = jnp.take_along_axis(tbl_ref[:, c, :], lo,
+                                                  axis=1)
+                        acc = jnp.where(hi == c, gth, acc)
+                    out_ref[:, sl] = acc
+        else:
+            for b in range(NBLK):
+                ix = idx[:, b * LANES:(b + 1) * LANES]
+                sl = slice(b * LANES, (b + 1) * LANES)
+                first = ix[:, :1]
+                hi = jnp.right_shift(ix, 7)
+                lo = jnp.bitwise_and(ix, 127)
+                zb = jnp.all(ix == 0)
+                # zb implies not-consec (0 != 0 + lane for lane > 0), so
+                # the three tiers are mutually exclusive and exhaustive
+                consec = jnp.all(ix == first + lane_i)
+
+                @pl.when(zb)
+                def _(sl=sl):
+                    out_ref[:, sl] = jnp.broadcast_to(
+                        tbl_ref[:, 0, 0:1], (rb, LANES))
+
+                @pl.when(consec)
+                def _(first=first, hi=hi, lo=lo, sl=sl):
+                    # 128 consecutive indices span chunks {h0, h0+1};
+                    # per-row scalar chunk bases via the [rb, 1] VMEM
+                    # scratch round-trip (probe_scalar_extract.py).
+                    # ds(h0, 2) stays in bounds: h0 <= n_chunks-1 and the
+                    # table is padded to n_chunks + WA chunks.
+                    h0 = jnp.right_shift(first, 7)
+                    b_scr[...] = h0
+                    slab = jnp.stack(
+                        [tbl_ref[r, pl.ds(b_scr[r, 0], 2), :]
+                         for r in range(rb)])
+                    g0 = jnp.take_along_axis(slab[:, 0, :], lo, axis=1)
+                    g1 = jnp.take_along_axis(slab[:, 1, :], lo, axis=1)
+                    out_ref[:, sl] = jnp.where(hi == h0, g0, g1)
+
+                @pl.when(jnp.logical_and(jnp.logical_not(zb),
+                                         jnp.logical_not(consec)))
+                def _(ix=ix, first=first, hi=hi, lo=lo, sl=sl):
+                    # general window, anchored at the block's own first
+                    # index: in-window rows take from the slab, trigger
+                    # restarts / end resets land in the WB head chunks,
+                    # anything else in the predicated residual loop
+                    base_v = jnp.right_shift(first, 7)
+                    b_scr[...] = base_v
+                    slabs = jnp.stack(
+                        [tbl_ref[r, pl.ds(b_scr[r, 0], WA), :]
+                         for r in range(rb)])
                     acc = jnp.zeros((rb, LANES), jnp.float32)
                     for w in range(WA):
                         gth = jnp.take_along_axis(slabs[:, w, :], lo,
@@ -189,8 +247,7 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                                                   axis=1)
                         acc = jnp.where(hi == c, gth, acc)
                     # residual chunk range: full-tile reduction of the
-                    # uncovered indices (the two-kernel split reduced the
-                    # same mask in XLA across the row tile)
+                    # uncovered indices
                     local = ix - (base_v << 7)
                     covered = jnp.logical_or(
                         jnp.logical_and(local >= 0, local < WA * LANES),
@@ -199,7 +256,6 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                         jnp.min(jnp.where(covered, BIG, ix)), 7)
                     r1 = jnp.right_shift(jnp.maximum(
                         jnp.max(jnp.where(covered, -1, ix)), -1), 7)
-                    sl = slice(b * LANES, (b + 1) * LANES)
 
                     @pl.when(r1 < r0)
                     def _(acc=acc, sl=sl):
