@@ -252,13 +252,16 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 br[...].reshape(br.shape[1:-3] + (SUBLANES, LANES))
                 for br in bnd_refs)
 
-            def fwd_body(i, carry):
-                for sc, val in zip(store_scr, carry):
-                    sc[i] = val.reshape(sc.shape[1:])
+            # per-sample scratch/stream accesses are grouped per unroll
+            # block (one pl.ds read/write of bwd_unroll rows per leaf per
+            # block, not one per sample): dynamic VMEM accesses are tens
+            # of cycles each and with ~20 state leaves the per-sample
+            # stores dominated the whole backward
+            def fwd_body(carry, x_rows, u):
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
                 st = jax.tree.unflatten(state_def, vals)
-                x_t = {kk: x_refs[j][i, 0] for j, kk in enumerate(xs_keys)}
+                x_t = {kk: x_rows[j][u] for j, kk in enumerate(xs_keys)}
                 new_state, _ = step_full(params_k, st, x_t)
                 return tuple(
                     jnp.broadcast_to(leaf, c.shape).astype(c.dtype)
@@ -266,16 +269,24 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
 
             def fwd_body_u(jj, carry):
                 base = jj * bwd_unroll
+                x_rows = [x_refs[j][pl.ds(base, bwd_unroll), 0]
+                          for j in range(n_x)]
+                group = []
                 for u in range(bwd_unroll):
-                    carry = fwd_body(base + u, carry)
+                    group.append(carry)
+                    carry = fwd_body(carry, x_rows, u)
+                for k_l, sc in enumerate(store_scr):
+                    sc[pl.ds(base, bwd_unroll)] = jnp.stack(
+                        [group[u][k_l].reshape(sc.shape[1:])
+                         for u in range(bwd_unroll)])
                 return carry
 
             jax.lax.fori_loop(0, t_chunk // bwd_unroll, fwd_body_u,
                               start_leaves)
 
             # ---- reverse sweep ----
-            def bwd_body(j, carry):
-                i = t_chunk - 1 - j
+            def bwd_body(i, u, rows, carry):
+                stored_rows, x_rows, cta_rows = rows
                 ct_sf = list(carry[:n_sf])
                 pgrads = list(carry[n_sf:])
                 if padded:
@@ -287,11 +298,11 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                         jnp.where(at, c + cf[...].reshape(c.shape)
                                   .astype(c.dtype), c)
                         for c, cf in zip(ct_sf, ctf_refs)]
-                stored = [sc[i].astype(d) if d != jnp.bool_ else
-                          sc[i].astype(jnp.bool_)
-                          for sc, d in zip(store_scr, s_dtypes)]
-                x_vals = [x_refs[j2][i, 0] for j2 in range(n_x)]
-                cta = cta_ref[i, :, 0]  # (C, 8, 128)
+                stored = [r[u].astype(d) if d != jnp.bool_ else
+                          r[u].astype(jnp.bool_)
+                          for r, d in zip(stored_rows, s_dtypes)]
+                x_vals = [x_rows[j2][u] for j2 in range(n_x)]
+                cta = cta_rows[u]  # (C, 8, 128)
 
                 def f(pf_list, sf_list, x_list):
                     pv = list(p_vals)
@@ -321,9 +332,17 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 return tuple(ds) + tuple(new_pgrads)
 
             def bwd_body_u(jj, carry):
-                base = jj * bwd_unroll
-                for u in range(bwd_unroll):
-                    carry = bwd_body(base + u, carry)
+                # reversed group order: group jj covers samples
+                # [t_chunk - (jj+1)*bwd_unroll, ...), swept u high -> low
+                base = t_chunk - (jj + 1) * bwd_unroll
+                stored_rows = [sc[pl.ds(base, bwd_unroll)]
+                               for sc in store_scr]
+                x_rows = [x_refs[j2][pl.ds(base, bwd_unroll), 0]
+                          for j2 in range(n_x)]
+                cta_rows = cta_ref[pl.ds(base, bwd_unroll), :, 0]
+                rows = (stored_rows, x_rows, cta_rows)
+                for u in reversed(range(bwd_unroll)):
+                    carry = bwd_body(base + u, u, rows, carry)
                 return carry
 
             carry0 = (tuple(cs[...] for cs in cts_scr)

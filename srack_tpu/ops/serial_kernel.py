@@ -11,10 +11,16 @@ is an (8, 128) tile; ``ins``/``outs`` are dicts of per-sample lanes.  The
 step must be pure jnp register math (no gathers / ragged buffers) --
 callers gate eligibility on module types.
 
-All input wires are packed into ONE array (and likewise outputs) so each
-sample costs a single dynamic VMEM read and a single write, not one per
-wire -- per-sample dynamic accesses are tens of cycles each and dominate
-multi-wire stages otherwise.
+All input wires are packed into ONE array so each sample costs a single
+dynamic VMEM read, not one per wire -- per-sample dynamic accesses are
+tens of cycles each and dominate multi-wire stages otherwise.  Output
+wires are SEPARATE buffers written once per wire per unroll group (an
+extra ~(n_outs-1)/unroll dynamic writes per sample): a packed
+[n, n_outs, ...] output costs that whole stacked array in HBM *plus* a
+materialized per-wire slice copy for every downstream Pallas consumer
+(custom-call operands can't alias slices) -- measured 5.5 G + 3 x 1.83 G
+of a 17 G peak on the sampler kit at [1024 x 480k], the allocation that
+OOMed 30 s segmented renders.
 """
 
 from __future__ import annotations
@@ -106,8 +112,8 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             s_refs = refs[n_p:n_p + n_s]
             x_ref = refs[n_p + n_s] if n_x else None
             base = n_p + n_s + (1 if n_x else 0)
-            out_ref = refs[base] if n_outs else None
-            base += 1 if n_outs else 0
+            out_refs = refs[base:base + n_outs]
+            base += n_outs
             sout_refs = refs[base:base + n_s]
             scratches = refs[base + n_s:]
 
@@ -140,9 +146,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                 new_state, outs = step(params_k, st, x_t)
                 out_row = None
                 if n_outs:
-                    out_row = jnp.stack([
+                    out_row = [
                         jnp.broadcast_to(outs[k], (SUBLANES, LANES))
-                        .astype(CV_DTYPE) for k in out_keys])
+                        .astype(CV_DTYPE) for k in out_keys]
                 # a leaf fed by an unconnected (constant) input can collapse
                 # to a scalar; broadcast back, store bools as int32
                 out = []
@@ -161,8 +167,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                 for u in range(unroll):
                     carry, out_row = body(u, carry, x_rows)
                     rows.append(out_row)
-                if n_outs:
-                    out_ref[pl.ds(base_i, unroll), :, 0] = jnp.stack(rows)
+                for j in range(n_outs):
+                    out_refs[j][pl.ds(base_i, unroll), 0] = jnp.stack(
+                        [rows[u][j] for u in range(unroll)])
                 return carry
 
             carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
@@ -184,15 +191,21 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                 lambda vtile, t: (t, 0, vtile, 0, 0),
                 memory_space=pltpu.VMEM)
 
+        def stream_spec():
+            return pl.BlockSpec(
+                (t_chunk, 1, SUBLANES, LANES),
+                lambda vtile, t: (t, vtile, 0, 0),
+                memory_space=pltpu.VMEM)
+
         in_specs = ([tile_spec(l) for l in p_tiled]
                     + [tile_spec(l) for l in s_tiled]
                     + ([packed_spec(n_x)] if n_x else []))
-        out_specs = (([packed_spec(n_outs)] if n_outs else [])
+        out_specs = ([stream_spec() for _ in range(n_outs)]
                      + [tile_spec(l) for l in s_tiled])
         out_shape = (
-            ([jax.ShapeDtypeStruct(
-                (np_, n_outs, n_tiles, SUBLANES, LANES), CV_DTYPE)]
-             if n_outs else [])
+            [jax.ShapeDtypeStruct(
+                (np_, n_tiles, SUBLANES, LANES), CV_DTYPE)
+             for _ in range(n_outs)]
             + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in s_tiled])
         scratch_shapes = [
             pltpu.VMEM(l.shape[:-3] + (SUBLANES, LANES), l.dtype)
@@ -211,14 +224,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             interpret=interpret,
         )(*operands)
 
-        if n_outs:
-            packed_out = results[0]
-            outs = {k: from_tiles(packed_out[:, j], v, CV_DTYPE)[:, :n]
-                    for j, k in enumerate(out_keys)}
-            state_results = results[1:]
-        else:
-            outs = {}
-            state_results = results
+        outs = {k: from_tiles(results[j], v, CV_DTYPE)[:, :n]
+                for j, k in enumerate(out_keys)}
+        state_results = results[n_outs:]
         final_leaves = [from_tiles(l, v, d)
                         for l, d in zip(state_results, s_dtypes)]
         final_state = jax.tree.unflatten(state_def, final_leaves)
