@@ -106,7 +106,19 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
             c_last[...] = jnp.broadcast_to(
                 (last0 > 0.0).astype(jnp.int32), c_last.shape)
 
+        # n need not be a T_CH multiple: lanes arrive UNPADDED (a whole-
+        # segment jnp.pad cost a fresh [V, n] HBM copy per Sample -- 1.84 G
+        # each at [1024 x 480k], the allocations that OOMed 30 s segmented
+        # renders).  Pallas masks the ragged block's OOB writes; OOB *reads*
+        # are garbage, so zero the tail explicitly -- every per-column value
+        # here is causal (prefix sum / running max / edge detect look left
+        # only) and the end-state reads column j_last, so zeroed tail
+        # columns change nothing that survives.
         gate = gate_ref[...]
+        if n % T_CH:
+            j_i = jax.lax.broadcasted_iota(jnp.int32, gate.shape, 1)
+            valid = (t * T_CH + j_i) < n
+            gate = jnp.where(valid, gate, 0.0)
         above = (gate > 0.0).astype(jnp.int32)
         prev = jnp.concatenate([c_last[:, :1], above[:, :-1]], axis=1)
         trig = above * (1 - prev)
@@ -120,7 +132,10 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                       + t * T_CH).astype(jnp.float32)
             cum_ex = base * iota_g
         else:
-            rate = base * jnp.exp2(cv_ref[...])
+            cv = cv_ref[...]
+            if n % T_CH:
+                cv = jnp.where(valid, cv, 0.0)
+            rate = base * jnp.exp2(cv)
             # inclusive prefix sum of rate (scan_kernel "sum" structure)
             cum = rate
             s = 1
@@ -320,9 +335,10 @@ def _fused_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
         return jnp.pad(a, ((0, rp - a.shape[0]),) + ((0, 0),) * (a.ndim - 1),
                        constant_values=fill)
 
-    gate_p = padv(jnp.pad(gate, ((0, 0), (0, np_ - n))))
-    cv_p = (None if cv_none else
-            padv(jnp.pad(cv, ((0, 0), (0, np_ - n)))))
+    # column dim stays UNPADDED (ragged final block handled in-kernel):
+    # whole-segment pads were fresh [V, n] HBM copies per Sample
+    gate_p = padv(gate)
+    cv_p = None if cv_none else padv(cv)
     par = padv(jnp.stack([
         base_rate.astype(jnp.float32),
         pos0.astype(jnp.float32),
@@ -351,7 +367,7 @@ def _fused_rows(gate, cv, table, base_rate, pos0, playing0, gate_last0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((rp, n), jnp.float32),
             jax.ShapeDtypeStruct((rp, LANES), jnp.float32),
         ],
         scratch_shapes=(

@@ -72,8 +72,9 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
     * ``outs``: dict {key: [V, n] f32} for each key in ``out_keys``.
     Bool state leaves travel as int32 through VMEM and loop carries.
     """
-    np_ = ceil_to(n, t_chunk)
-    n_chunks = np_ // t_chunk
+    if t_chunk % unroll:
+        raise ValueError(f"unroll={unroll} must divide t_chunk={t_chunk}")
+    n_chunks = ceil_to(n, t_chunk) // t_chunk
     out_keys = list(out_keys)
     n_outs = len(out_keys)
     if interpret is None:
@@ -88,10 +89,14 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
         vp = ceil_to(max(v, 1), TILE_VOICES)
         n_tiles = vp // TILE_VOICES
 
+        # n need not be a t_chunk multiple: lanes stream UNPADDED (a
+        # whole-render jnp.pad cost a fresh [V, n] HBM copy per wire) and
+        # the final block runs a statically-shorter loop -- padding and
+        # then stepping the serial state through the zero tail was also a
+        # CORRECTNESS bug (the returned final state had absorbed
+        # n_pad - n zero-input steps, breaking segmented continuity for
+        # any t_chunk that doesn't divide the segment length).
         ins = {k: jnp.asarray(a, CV_DTYPE) for k, a in ins.items()}
-        if np_ != n:
-            ins = {k: jnp.pad(a, ((0, 0), (0, np_ - n)))
-                   for k, a in ins.items()}
         in_keys = sorted(ins)
         n_x = len(in_keys)
         # pack every input wire into one [T, n_x, tiles, 8, 128] array
@@ -159,23 +164,47 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
             # manual unrolling (Pallas fori_loop can't partially unroll);
             # streamed wires are read/written ONCE per unroll group --
             # per-sample dynamic VMEM accesses are tens of cycles each
-            def body_u(j, carry):
-                base_i = j * unroll
-                x_rows = (x_ref[pl.ds(base_i, unroll), :, 0]
-                          if n_x else None)  # (unroll, n_x, 8, 128)
+            def run_group(carry, base_i, m):
+                x_rows = (x_ref[pl.ds(base_i, m), :, 0]
+                          if n_x else None)  # (m, n_x, 8, 128)
                 rows = []
-                for u in range(unroll):
+                for u in range(m):
                     carry, out_row = body(u, carry, x_rows)
                     rows.append(out_row)
                 for j in range(n_outs):
-                    out_refs[j][pl.ds(base_i, unroll), 0] = jnp.stack(
-                        [rows[u][j] for u in range(unroll)])
+                    out_refs[j][pl.ds(base_i, m), 0] = jnp.stack(
+                        [rows[u][j] for u in range(m)])
                 return carry
 
-            carry = jax.lax.fori_loop(0, t_chunk // unroll, body_u, carry0)
-            for sc, val, sr in zip(scratches, carry, sout_refs):
-                sc[...] = val.reshape(sc.shape)
-                sr[...] = sc[...].reshape(sr.shape)
+            def body_u(j, carry):
+                return run_group(carry, j * unroll, unroll)
+
+            def finish(carry):
+                for sc, val, sr in zip(scratches, carry, sout_refs):
+                    sc[...] = val.reshape(sc.shape)
+                    sr[...] = sc[...].reshape(sr.shape)
+
+            # rem: samples in the FINAL block -- static, so the ragged
+            # tail is a statically-shorter loop + one partial group (no
+            # per-sample predication, no stepping past sample n-1)
+            rem = n - (n_chunks - 1) * t_chunk
+            if rem == t_chunk:
+                finish(jax.lax.fori_loop(0, t_chunk // unroll, body_u,
+                                         carry0))
+            else:
+                @pl.when(t != n_chunks - 1)
+                def _():
+                    finish(jax.lax.fori_loop(0, t_chunk // unroll, body_u,
+                                             carry0))
+
+                @pl.when(t == n_chunks - 1)
+                def _():
+                    carry = jax.lax.fori_loop(0, rem // unroll, body_u,
+                                              carry0)
+                    if rem % unroll:
+                        carry = run_group(carry, (rem // unroll) * unroll,
+                                          rem % unroll)
+                    finish(carry)
 
         def tile_spec(leaf):
             rest = leaf.shape[:-3]
@@ -204,7 +233,7 @@ def make_serial_kernel(step, n: int, out_keys, t_chunk: int = 512,
                      + [tile_spec(l) for l in s_tiled])
         out_shape = (
             [jax.ShapeDtypeStruct(
-                (np_, n_tiles, SUBLANES, LANES), CV_DTYPE)
+                (n, n_tiles, SUBLANES, LANES), CV_DTYPE)
              for _ in range(n_outs)]
             + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in s_tiled])
         scratch_shapes = [

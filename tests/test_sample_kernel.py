@@ -199,6 +199,19 @@ def test_batch_scale_long_table():
     check(gate, cvl, tbl, k, 1.5)
 
 
+def test_ragged_n_not_lane_aligned():
+    """n neither a T_CH multiple nor a 128 multiple: lanes now go to the
+    kernel UNPADDED (the whole-segment pad was a fresh [V, n] HBM copy per
+    Sample) and the ragged final block is masked in-kernel."""
+    n = 2500
+    gate = (RNG.random((R, n)) > 0.995).astype(np.float32)
+    cvl = RNG.integers(-1, 2, (R, n)).astype(np.float32)
+    check(gate, cvl, TBL, K, 0.5)
+    check(gate, None, TBL, K, 1.5)
+    # short logical length so end-crossings land in the ragged block too
+    check(gate, cvl, TBL, 600, 2.0)
+
+
 def test_vmap_folds_voices():
     out = jax.vmap(
         lambda g, c, t: sample_kernel.play_table(
