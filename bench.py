@@ -174,9 +174,11 @@ def main() -> None:
         ("sampler x1024 (48k-frame samples)", sampler_kit(cfg),
          ((1440000, 480000), (1440000, 240000), (480000, None)), 1024),
         # Freeverb's 12 delay lines per channel: whole-Freeverb VMEM kernel
-        # + in-VMEM ring canonicalization (ops/ring_roll)
+        # (fused input-gain/wet-dry shell) + in-VMEM ring canonicalization.
+        # segment=288000 is a multiple of the kernel chunk (t_c=1152): no
+        # per-segment XLA tail chunk (503 vs 524 ms at 480k, r4_fv_seg.py)
         ("reverb x1024 (block engine)", reverb_patch(cfg),
-         ((1440000, 480000), (1440000, 240000), (480000, None)), 1024),
+         ((1440000, 288000), (1440000, 480000), (480000, None)), 1024),
     ):
         for n_try, seg in ns:
             seg_tag = f" seg={seg // 48000}s" if seg else ""

@@ -277,6 +277,23 @@ class BlockProgram:
                              if k[0] in self.stage_set)
         self.stage_out = sorted(stage_out)
 
+        # static used-wire set for block_outs_hint modules (probes are
+        # compile-time, so this is exact): a module output is dead iff no
+        # input wire, probe, or audio channel reads it -- dead outputs let
+        # opt-in block impls skip whole [V, n] HBM stores (ModuleDef.
+        # block_outs_hint)
+        used_wires = set(self.probe_wires)
+        for mid2 in plan:
+            used_wires.update(c for c in insts[mid2][2] if c is not None)
+        self._outs_used = {}
+        for mid2 in plan:
+            mdef2, statics2, _ = insts[mid2]
+            if mdef2.block_outs_hint:
+                n_out = mdef2.num_outputs(self.cfg, statics2)
+                self._outs_used[mid2] = tuple(
+                    mid2 == compiled.output_id or (mid2, p) in used_wires
+                    for p in range(n_out))
+
         self.pallas_ok = all(
             insts[mid][0].type_name in PALLAS_SAFE
             or insts[mid][0].register_safe for mid in self.stage_plan
@@ -324,8 +341,10 @@ class BlockProgram:
                                for p in auto}}
             with jax.named_scope(f"{mdef.type_name}:{mid}"):
                 if mdef.block is not None:
+                    kw = ({"outs_used": self._outs_used[mid]}
+                          if mid in self._outs_used else {})
                     new_state, outs = mdef.block(
-                        cfg, statics, pd, states[mid], ins, x, n)
+                        cfg, statics, pd, states[mid], ins, x, n, **kw)
                 else:
                     new_state, outs = (mdef.step_nograd or mdef.step)(
                         cfg, statics, pd, states[mid], ins, x)

@@ -102,6 +102,16 @@ class ModuleDef:
     # runs on every engine: scan always, block via its lax.scan serial
     # stage (block_engine.PALLAS_SAFE fallback).
     register_safe: bool = False
+    # Opt-in unused-output elision for ``block`` impls: when True the
+    # block engine passes ``outs_used`` (tuple of bools, one per output
+    # port; True = some wire/probe/output-channel consumes it) as a
+    # keyword, and the impl may skip WORK for dead outputs (it must still
+    # return a full out tuple -- placeholders are fine, they are never
+    # read).  This extends Mosaic's DCE of unused fused-kernel outputs
+    # (CLAUDE.md) to hand-written block kernels, whose HBM output writes
+    # XLA cannot eliminate: e.g. Freeverb's unconnected Right channel is
+    # a whole [V, n] store.
+    block_outs_hint: bool = False
 
     def port_index(self, cfg: AudioConfig, statics: Statics, port, *, output: bool) -> int:
         """Resolve a port given by index or label to an index."""

@@ -148,7 +148,16 @@ def _step(cfg: AudioConfig, statics, params, state, ins, x=None):
     return state, (final_l, final_r)
 
 
-def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
+def _pick_t_c(chunk: int, n: int) -> int:
+    """Kernel chunk size: the largest 128-multiple <= the shortest comb.
+    (A smaller t_c that divides ``n`` would kill the per-segment XLA tail
+    chunk, but pays proportionally more ring-roll traffic per sample --
+    measured net-negative at 480k segments, scripts/r4_fv_ab.py.)"""
+    return (chunk // 128) * 128
+
+
+def _block(cfg: AudioConfig, statics, params, state, ins, xs, n,
+           outs_used=(True, True)):
     """Chunk-parallel Freeverb: the delay lines make the recurrence
     *blockwise* parallel -- within a chunk no longer than the shortest
     delay line, every comb/allpass read is at least one chunk old, so a
@@ -179,8 +188,11 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
             return jnp.zeros((n,), dt)
         return jnp.broadcast_to(x, (n,)).astype(dt)
 
+    # same wire feeding both inputs (the common mono-send topology): the
+    # fused kernel streams ONE lane instead of two
+    mono = ins[0] is ins[1]
     l_in = lane(ins[0])
-    r_in = lane(ins[1])
+    r_in = l_in if mono else lane(ins[1])
     damp, feed, in_gain, wet1, wet2, dry = freeverb_gains(params, dt)
     # block-engine automation: gain params may arrive as per-sample [n]
     # lanes.  wet1/wet2/dry apply at the output mix -- moved outside the
@@ -292,19 +304,37 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
                   and jax.default_backend() == "tpu")
     if use_kernel:
         from ..ops import freeverb_kernel as fvk
-        t_c = (chunk // 128) * 128
+        t_c = _pick_t_c(chunk, n)
         n_full = (n // t_c) * t_c
+    # fold the module's elementwise shell (input gain + wet/dry mix, ~11
+    # whole-render HBM passes) into the kernel when every gain is a scalar
+    # (automated gain lanes keep the exact-per-sample outside mix)
+    fuse_mix = (use_kernel
+                and all(jnp.ndim(g) == 0
+                        for g in (in_gain, wet1, wet2, dry)))
     if n_full:
         comb_keys = ([f"cl{i}" for i in range(len(cl))]
                      + [f"cr{i}" for i in range(len(cr))])
         ap_keys = ([f"al{i}" for i in range(len(al))]
                    + [f"ar{i}" for i in range(len(ar))])
         fs_keys = [f"c{ch}{i}" for ch in "lr" for i in range(len(cl))]
-        mixed_full = (l_in[:n_full] + r_in[:n_full]) * in_gain
-        fn = fvk.entry(tuple(cl) + tuple(cr), tuple(al) + tuple(ar),
-                       n_full, t_c)
-        outs = fn(mixed_full, jnp.stack([fs[k] for k in fs_keys]),
-                  damp, feed, *[hist[k] for k in comb_keys + ap_keys])
+        fs_stack = jnp.stack([fs[k] for k in fs_keys])
+        hist_args = [hist[k] for k in comb_keys + ap_keys]
+        lens_args = (tuple(cl) + tuple(cr), tuple(al) + tuple(ar))
+        if fuse_mix:
+            skip_r = not outs_used[1]
+            fn = fvk.entry_mix(*lens_args, n_full, t_c, mono, skip_r)
+            in_lanes = ((l_in[:n_full],) if mono
+                        else (l_in[:n_full], r_in[:n_full]))
+            outs = fn(*in_lanes, fs_stack, damp, feed, in_gain,
+                      wet1, wet2, dry, *hist_args)
+            if skip_r:
+                # dead Right output: placeholder lane, DCEd downstream
+                outs = (outs[0], jnp.zeros_like(outs[0])) + tuple(outs[1:])
+        else:
+            mixed_full = (l_in[:n_full] + r_in[:n_full]) * in_gain
+            fn = fvk.entry(*lens_args, n_full, t_c)
+            outs = fn(mixed_full, fs_stack, damp, feed, *hist_args)
         out_l, out_r, fs_f = outs[0], outs[1], outs[2]
         pieces_l.append(out_l)
         pieces_r.append(out_r)
@@ -348,6 +378,19 @@ def _block(cfg: AudioConfig, statics, params, state, ins, xs, n):
     for ch in "lr":
         for i in range(len(cl)):
             new_state[f"c{ch}{i}_fs"] = fss_f[f"c{ch}{i}"]
+    if fuse_mix and n_full:
+        # the kernel already emitted final-mixed audio for [:n_full]; only
+        # the sub-chunk XLA tail still needs the wet/dry shell
+        out_l, out_r = pieces_l[0], pieces_r[0]
+        tail_l, tail_r = pieces_l[1:], pieces_r[1:]
+        if tail_l:
+            tl = tail_l[0] if len(tail_l) == 1 else jnp.concatenate(tail_l)
+            tr = tail_r[0] if len(tail_r) == 1 else jnp.concatenate(tail_r)
+            fl = tl * wet1 + tr * wet2 + l_in[n_full:] * dry
+            fr = tr * wet1 + tl * wet2 + r_in[n_full:] * dry
+            out_l = jnp.concatenate([out_l, fl])
+            out_r = jnp.concatenate([out_r, fr])
+        return new_state, (out_l.astype(CV_DTYPE), out_r.astype(CV_DTYPE))
     raw_l = pieces_l[0] if len(pieces_l) == 1 else jnp.concatenate(pieces_l)
     raw_r = pieces_r[0] if len(pieces_r) == 1 else jnp.concatenate(pieces_r)
     # wet/dry mix over the whole render: exact per-sample semantics for
@@ -375,4 +418,6 @@ FREEVERB = ModuleDef(
     # chunk start -- the comb solve needs in-chunk-constant coefficients)
     auto_block_params=frozenset(
         {"dampening", "wet", "width", "room_size", "dry"}),
+    # a dead Right output elides a whole [V, n] kernel store (mono patches)
+    block_outs_hint=True,
 )

@@ -89,12 +89,31 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build(comb_lens, ap_lens, n, t_c, interpret):
+def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
+           mono=False, skip_r=False):
     """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
     n: total samples (multiple of t_c); t_c: chunk (multiple of 128,
     <= min(comb_lens)).  Returns
     ``run(mixed [V, n], fs [V, 16], damp [V], feed [V], *hists [V, len])
-    -> (out_l, out_r, fs_final, *hists_final)``."""
+    -> (out_l, out_r, fs_final, *hists_final)``.
+
+    ``fuse_mix``: stream the RAW input lane(s) instead of the premixed
+    bus and fold the whole module's elementwise shell into the kernel --
+    ``mixed = (l+r)*in_gain`` on the way in, the stereo wet/dry mix
+    (``raw*wet1 + cross*wet2 + in*dry``) on the way out.  The unfused
+    shell costs ~11 whole-render [V, n] HBM passes per segment outside
+    the kernel (input mix 3, output mix 8 -- the reverb config's largest
+    non-kernel cost); fused they ride the lanes already resident in VMEM.
+    Signature becomes ``run(l, r?, fs, damp, feed, in_gain, wet1, wet2,
+    dry, *hists) -> (final_l, final_r?, fs_final, *hists_final)`` (``r``
+    omitted when ``mono``: both module inputs are the same wire -- the
+    common send topology -- so one lane streams instead of two).
+
+    ``skip_r`` (fuse_mix only): the module's Right output feeds nothing
+    (block_outs_hint elision), so the kernel drops the final_r output --
+    a whole [V, n] HBM store XLA cannot DCE out of a pallas_call.  All
+    DSP still runs (the right comb/allpass chain feeds final_l via wet2,
+    and its delay-line state must advance identically)."""
     n_comb = len(comb_lens)
     n_ap = len(ap_lens)
     half_c = n_comb // 2
@@ -110,12 +129,19 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
         spans.append((s0, m))
         s0 += m
 
+    n_in = 1 if (not fuse_mix or mono) else 2
+    n_out_lanes = 1 if skip_r else 2
+    assert not skip_r or fuse_mix  # raw out_r always feeds out_l's wet2
+
     def kernel(*refs):
-        (mixed_ref, fs_in_ref, gp_ref) = refs[:3]
-        hin_refs = refs[3:3 + n_comb + n_ap]
-        out_l_ref, out_r_ref, fs_ref = refs[3 + n_comb + n_ap:
-                                            6 + n_comb + n_ap]
-        h_refs = refs[6 + n_comb + n_ap:-1]
+        in_refs = refs[:n_in]
+        fs_in_ref, gp_ref = refs[n_in:n_in + 2]
+        base = n_in + 2
+        hin_refs = refs[base:base + n_comb + n_ap]
+        o = base + n_comb + n_ap
+        out_lane_refs = refs[o:o + n_out_lanes]
+        fs_ref = refs[o + n_out_lanes]
+        h_refs = refs[o + n_out_lanes + 1:-1]
         pow_scr = refs[-1]
 
         t = pl.program_id(1)
@@ -139,7 +165,12 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                 s <<= 1
             pow_scr[...] = P
 
-        mixed = mixed_ref[...]
+        if fuse_mix:
+            l_lane = in_refs[0][...]
+            r_lane = l_lane if mono else in_refs[1][...]
+            mixed = (l_lane + r_lane) * gp_ref[:, 2:3]
+        else:
+            mixed = in_refs[0][...]
         P = pow_scr[...]
 
         # comb output taps don't depend on the damping scan: y is the
@@ -199,6 +230,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                 comb_update(full_w)
 
         outs = [sum(ys[:half_c]), sum(ys[half_c:])]
+        res = [None, None]
         for ch in range(2):
             # allpass lines roll in REGISTERS across the span pieces and
             # write back once per chunk: per-piece ref rolls rebuilt each
@@ -219,9 +251,22 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                 pieces.append(x)
             for hj, h in zip(hjs, h_vals):
                 h_refs[hj][...] = h
-            res = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            res[ch] = pieces[0] if len(pieces) == 1 else jnp.concatenate(
                 pieces, axis=1)
-            (out_l_ref if ch == 0 else out_r_ref)[...] = res
+        if fuse_mix:
+            # module output shell (modules/freeverb.py _block final mix),
+            # same expression order -> parity within fma rounding
+            wet1 = gp_ref[:, 3:4]
+            wet2 = gp_ref[:, 4:5]
+            dry = gp_ref[:, 5:6]
+            out_lane_refs[0][...] = (res[0] * wet1 + res[1] * wet2
+                                     + l_lane * dry)
+            if not skip_r:
+                out_lane_refs[1][...] = (res[1] * wet1 + res[0] * wet2
+                                         + r_lane * dry)
+        else:
+            out_lane_refs[0][...] = res[0]
+            out_lane_refs[1][...] = res[1]
 
     all_lens = tuple(comb_lens) + tuple(ap_lens)
 
@@ -234,8 +279,17 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                             memory_space=pltpu.VMEM)
 
     @jax.jit
-    def run(mixed, fs, damp, feed, *hists):
-        v = mixed.shape[0]
+    def run(*args):
+        lanes, rest = args[:n_in], args[n_in:]
+        if fuse_mix:
+            fs, damp, feed, in_gain, wet1, wet2, dry = rest[:7]
+            hists = rest[7:]
+            gains = [damp, feed, in_gain, wet1, wet2, dry]
+        else:
+            fs, damp, feed = rest[:3]
+            hists = rest[3:]
+            gains = [damp, feed]
+        v = lanes[0].shape[0]
         vp = _ceil_to(max(v, 1), VB)
 
         def padv(a):
@@ -243,18 +297,19 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
                     jnp.pad(a, ((0, vp - a.shape[0]),) + ((0, 0),) *
                             (a.ndim - 1)))
 
-        mixed_p = padv(mixed)
+        lanes_p = [padv(x) for x in lanes]
         fs_p = padv(jnp.pad(fs, ((0, 0), (0, LANES - n_comb))))
-        gp = padv(jnp.stack([damp, feed] + [jnp.zeros_like(damp)] *
-                            (LANES - 2), axis=1))
+        gp = padv(jnp.stack(gains + [jnp.zeros_like(damp)] *
+                            (LANES - len(gains)), axis=1))
         hists_p = [padv(h) for h in hists]
 
-        in_specs = ([lane_spec(), state_spec(LANES), state_spec(LANES)]
+        in_specs = ([lane_spec()] * n_in
+                    + [state_spec(LANES), state_spec(LANES)]
                     + [state_spec(l) for l in all_lens])
-        out_specs = ([lane_spec(), lane_spec(), state_spec(LANES)]
+        out_specs = ([lane_spec()] * n_out_lanes + [state_spec(LANES)]
                      + [state_spec(l) for l in all_lens])
         out_shape = (
-            [jax.ShapeDtypeStruct((vp, n), jnp.float32)] * 2
+            [jax.ShapeDtypeStruct((vp, n), jnp.float32)] * n_out_lanes
             + [jax.ShapeDtypeStruct((vp, LANES), jnp.float32)]
             + [jax.ShapeDtypeStruct((vp, l), jnp.float32)
                for l in all_lens])
@@ -269,36 +324,39 @@ def _build(comb_lens, ap_lens, n, t_c, interpret):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(mixed_p, fs_p, gp, *hists_p)
+        )(*lanes_p, fs_p, gp, *hists_p)
 
-        out_l, out_r, fs_f = outs[0][:v], outs[1][:v], outs[2][:v, :n_comb]
-        hists_f = [h[:v] for h in outs[3:]]
-        return (out_l, out_r, fs_f) + tuple(hists_f)
+        lanes_f = tuple(o[:v] for o in outs[:n_out_lanes])
+        fs_f = outs[n_out_lanes][:v, :n_comb]
+        hists_f = tuple(h[:v] for h in outs[n_out_lanes + 1:])
+        return lanes_f + (fs_f,) + hists_f
 
     return run
 
 
-def _make_entry(comb_lens, ap_lens, n, t_c):
+def _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=False, mono=False,
+                skip_r=False):
     """custom_vmap entry: logical single-voice signature (the block engine
     vmaps modules over voices); the rule passes the batch straight through
     as kernel rows."""
 
+    def _run():
+        return _build(comb_lens, ap_lens, n, t_c,
+                      jax.default_backend() != "tpu", fuse_mix, mono,
+                      skip_r)
+
     @jax.custom_batching.custom_vmap
-    def f(mixed, fs, damp, feed, *hists):
-        run = _build(comb_lens, ap_lens, n, t_c,
-                     jax.default_backend() != "tpu")
-        outs = run(mixed[None], fs[None], damp[None], feed[None],
-                   *[h[None] for h in hists])
+    def f(*args):
+        outs = _run()(*[jnp.asarray(a)[None] for a in args])
         return tuple(o[0] for o in outs)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = [a if b else
-                jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                jnp.broadcast_to(jnp.asarray(a)[None],
+                                 (axis_size,) + jnp.shape(a))
                 for a, b in zip(args, in_batched)]
-        run = _build(comb_lens, ap_lens, n, t_c,
-                     jax.default_backend() != "tpu")
-        outs = run(*args)
+        outs = _run()(*args)
         return tuple(outs), (True,) * len(outs)
 
     return f
@@ -307,3 +365,13 @@ def _make_entry(comb_lens, ap_lens, n, t_c):
 @functools.lru_cache(maxsize=None)
 def entry(comb_lens, ap_lens, n, t_c):
     return _make_entry(comb_lens, ap_lens, n, t_c)
+
+
+@functools.lru_cache(maxsize=None)
+def entry_mix(comb_lens, ap_lens, n, t_c, mono, skip_r=False):
+    """Fused-shell entry (see ``_build`` fuse_mix): single-voice signature
+    ``f(l, r?, fs [16], damp, feed, in_gain, wet1, wet2, dry, *hists) ->
+    (final_l, final_r?, fs_final, *hists_final)``; ``r`` omitted when
+    ``mono``, ``final_r`` omitted when ``skip_r`` (dead Right output)."""
+    return _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=True, mono=mono,
+                       skip_r=skip_r)

@@ -163,3 +163,70 @@ def test_kernel_batched_rows():
                           [h[i] for h in hists])
         np.testing.assert_allclose(np.asarray(outs[0][i]), want[0],
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_entry_mix_matches_shell():
+    """entry_mix (fused input-gain + wet/dry shell, _build fuse_mix) must
+    match entry + the module's outside mix (modules/freeverb.py _block
+    final mix) on the same lanes, in both stereo and mono-wire forms."""
+    rng = np.random.default_rng(4)
+    n, t_c = 256, 128
+    l = (rng.normal(size=n) * 0.1).astype(np.float32)
+    r = (rng.normal(size=n) * 0.1).astype(np.float32)
+    fs0 = (rng.normal(size=16) * 0.1).astype(np.float32)
+    damp, feed = np.float32(0.35), np.float32(0.84)
+    in_g, wet1, wet2, dry = (np.float32(0.015), np.float32(0.09),
+                             np.float32(0.03), np.float32(0.3))
+    hists = [(rng.normal(size=ln) * 0.1).astype(np.float32)
+             for ln in COMB_LENS + AP_LENS]
+    args = [jnp.asarray(a) for a in hists]
+
+    base = fvk.entry(COMB_LENS, AP_LENS, n, t_c)(
+        jnp.asarray((l + r) * in_g), jnp.asarray(fs0),
+        jnp.asarray(damp), jnp.asarray(feed), *args)
+    want_l = np.asarray(base[0]) * wet1 + np.asarray(base[1]) * wet2 + l * dry
+    want_r = np.asarray(base[1]) * wet1 + np.asarray(base[0]) * wet2 + r * dry
+
+    got = fvk.entry_mix(COMB_LENS, AP_LENS, n, t_c, False)(
+        jnp.asarray(l), jnp.asarray(r), jnp.asarray(fs0),
+        jnp.asarray(damp), jnp.asarray(feed), jnp.asarray(in_g),
+        jnp.asarray(wet1), jnp.asarray(wet2), jnp.asarray(dry), *args)
+    np.testing.assert_allclose(np.asarray(got[0]), want_l, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), want_r, atol=1e-6)
+    # carried state identical to the unfused kernel's
+    for g, w in zip(got[2:], base[2:]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # mono form: one lane streams, both channels see the same dry input
+    base_m = fvk.entry(COMB_LENS, AP_LENS, n, t_c)(
+        jnp.asarray((l + l) * in_g), jnp.asarray(fs0),
+        jnp.asarray(damp), jnp.asarray(feed), *args)
+    got_m = fvk.entry_mix(COMB_LENS, AP_LENS, n, t_c, True)(
+        jnp.asarray(l), jnp.asarray(fs0),
+        jnp.asarray(damp), jnp.asarray(feed), jnp.asarray(in_g),
+        jnp.asarray(wet1), jnp.asarray(wet2), jnp.asarray(dry), *args)
+    want_ml = (np.asarray(base_m[0]) * wet1 + np.asarray(base_m[1]) * wet2
+               + l * dry)
+    np.testing.assert_allclose(np.asarray(got_m[0]), want_ml, atol=1e-6)
+
+
+def test_entry_mix_skip_r():
+    """skip_r (dead Right output, block_outs_hint elision) must leave
+    final_l and ALL carried state identical to the full fused kernel --
+    the right comb/allpass chain still runs (it feeds final_l via wet2)."""
+    rng = np.random.default_rng(5)
+    n, t_c = 256, 128
+    l = (rng.normal(size=n) * 0.1).astype(np.float32)
+    fs0 = (rng.normal(size=16) * 0.1).astype(np.float32)
+    hists = [(rng.normal(size=ln) * 0.1).astype(np.float32)
+             for ln in COMB_LENS + AP_LENS]
+    args = ([jnp.asarray(l), jnp.asarray(fs0)]
+            + [jnp.asarray(np.float32(x))
+               for x in (0.35, 0.84, 0.015, 0.09, 0.03, 0.3)]
+            + [jnp.asarray(h) for h in hists])
+    full = fvk.entry_mix(COMB_LENS, AP_LENS, n, t_c, True, False)(*args)
+    skip = fvk.entry_mix(COMB_LENS, AP_LENS, n, t_c, True, True)(*args)
+    assert len(skip) == len(full) - 1
+    np.testing.assert_array_equal(np.asarray(skip[0]), np.asarray(full[0]))
+    for g, w in zip(skip[1:], full[2:]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
