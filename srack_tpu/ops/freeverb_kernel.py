@@ -90,10 +90,16 @@ def _ceil_to(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
-           mono=False, skip_r=False):
+           mono=False, skip_r=False, k_c=1):
     """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
-    n: total samples (multiple of t_c); t_c: chunk (multiple of 128,
-    <= min(comb_lens)).  Returns
+    n: total samples (multiple of ``k_c * t_c``); t_c: chunk (multiple of
+    128, <= min(comb_lens)); ``k_c``: causal sub-chunks processed per grid
+    invocation.  The causality cap (every comb read must predate the
+    chunk) limits t_c, NOT the grid step: the kernel's bare floor is
+    per-invocation overhead (~6 ms/s-audio at k_c=1 vs a ~0.2 ms op-count
+    bound, scripts/probe_fv_parts.py -- 54 block refs re-bound 1333
+    times/s-audio), so each grid step runs ``k_c`` full chunk bodies over
+    static lane slices, dividing that overhead by ``k_c``.  Returns
     ``run(mixed [V, n], fs [V, 16], damp [V], feed [V], *hists [V, len])
     -> (out_l, out_r, fs_final, *hists_final)``.
 
@@ -119,6 +125,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
     half_c = n_comb // 2
     half_a = n_ap // 2
     assert t_c % LANES == 0 and t_c <= min(comb_lens)
+    assert n % (k_c * t_c) == 0
     n_chunks = n // t_c
     # allpass sub-pieces: static spans no longer than the shortest line
     min_ap = min(ap_lens)
@@ -166,50 +173,104 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             pow_scr[...] = P
 
         if fuse_mix:
-            l_lane = in_refs[0][...]
-            r_lane = l_lane if mono else in_refs[1][...]
-            mixed = (l_lane + r_lane) * gp_ref[:, 2:3]
+            l_full = in_refs[0][...]
+            r_full = l_full if mono else in_refs[1][...]
+            # mix the whole block at once (same op structure as the
+            # unfused kernel's precomputed lane: per-sub-chunk mixes gave
+            # XLA a different fma-contraction context at k_c > 1 -- 1-ulp
+            # comb-state divergence vs ``entry``)
+            mixed_full = (l_full + r_full) * gp_ref[:, 2:3]
         else:
-            mixed = in_refs[0][...]
+            mixed_full = in_refs[0][...]
         P = pow_scr[...]
 
-        # comb output taps don't depend on the damping scan: y is the
-        # oldest t_c samples of each line, read before the writeback
-        ys = [h_refs[j][:, :t_c] for j in range(n_comb)]
-
-        def comb_update(window):
-            """Damping scan + line writeback for all 16 combs at the given
-            truncation window.  fs[t] = damp*fs[t-1] + (1-damp)*y[t]: the
-            coefficient is per-voice constant, so the log-doubling scan
-            only carries B (one lane-shift per pass; the damp^s factor is
-            a [rows, 1] scalar squared each pass).  The filter-state row
-            is read/written ONCE per chunk (one [VB, 128] load, one packed
-            store) -- 32 per-comb sub-vreg column accesses measured
-            ~1.8 ms/s-audio (probe_fv_parts.py no-fs-col)."""
+        def process(window):
+            """All ``k_c`` sub-chunks at the given damping-scan truncation
+            window.  Per sub-chunk: comb taps (the oldest t_c samples of
+            each line, read before the writeback), the damping scan
+            (fs[t] = damp*fs[t-1] + (1-damp)*y[t]: per-voice constant
+            coefficient, so the log-doubling carries only B -- one
+            lane-shift per pass, the damp^s factor a [rows, 1] scalar
+            squared each pass), line writeback, allpasses, output mix.
+            The filter-state row is read/written ONCE per grid step
+            (register-carried across sub-chunks): 32 per-comb sub-vreg
+            column accesses measured ~1.8 ms/s-audio
+            (probe_fv_parts.py no-fs-col)."""
             fs_all = fs_ref[...]
-            cols = []
-            for j in range(n_comb):
-                B = ys[j] * one_m
-                ds = damp
-                s = 1
-                while s < min(t_c, window):
-                    B = B + ds * _shift(B, s, 0.0)
-                    ds = ds * ds
-                    s <<= 1
-                fs_t = P * fs_all[:, j:j + 1] + B
-                w = mixed + fs_t * feed
-                h = h_refs[j][...]
-                # (empty [rows, 0] slices are invalid Mosaic vectors)
-                h_refs[j][...] = (w if t_c == h.shape[1] else
-                                  jnp.concatenate([h[:, t_c:], w], axis=1))
-                cols.append(fs_t[:, -1:])
-            fs_ref[...] = jnp.concatenate(cols + [fs_all[:, n_comb:]],
+            fs_cols = [fs_all[:, j:j + 1] for j in range(n_comb)]
+            for kk in range(k_c):
+                sl = slice(kk * t_c, (kk + 1) * t_c)
+                mixed = mixed_full[:, sl]
+                if fuse_mix:
+                    l_lane = l_full[:, sl]
+                    r_lane = l_lane if mono else r_full[:, sl]
+                ys = [h_refs[j][:, :t_c] for j in range(n_comb)]
+                for j in range(n_comb):
+                    B = ys[j] * one_m
+                    ds = damp
+                    s = 1
+                    while s < min(t_c, window):
+                        B = B + ds * _shift(B, s, 0.0)
+                        ds = ds * ds
+                        s <<= 1
+                    fs_t = P * fs_cols[j] + B
+                    w = mixed + fs_t * feed
+                    h = h_refs[j][...]
+                    # (empty [rows, 0] slices are invalid Mosaic vectors)
+                    h_refs[j][...] = (w if t_c == h.shape[1] else
+                                      jnp.concatenate([h[:, t_c:], w],
+                                                      axis=1))
+                    fs_cols[j] = fs_t[:, -1:]
+
+                outs = [sum(ys[:half_c]), sum(ys[half_c:])]
+                res = [None, None]
+                for ch in range(2):
+                    # allpass lines roll in REGISTERS across the span
+                    # pieces and write back once per sub-chunk: per-piece
+                    # ref rolls rebuilt each full line len(spans) times
+                    # per chunk (~1.5 ms/s-audio, probe_fv_parts.py
+                    # no-ap-roll)
+                    hjs = [n_comb + ch * half_a + a for a in range(half_a)]
+                    h_vals = [h_refs[hj][...] for hj in hjs]
+                    pieces = []
+                    for (p0, m) in spans:
+                        x = outs[ch][:, p0:p0 + m]
+                        for a in range(half_a):
+                            h = h_vals[a]
+                            delayed = h[:, :m]
+                            w = x + delayed * ALLPASS_FEEDBACK
+                            x = delayed - x
+                            h_vals[a] = (w if m == h.shape[1] else
+                                         jnp.concatenate([h[:, m:], w],
+                                                         axis=1))
+                        pieces.append(x)
+                    for hj, h in zip(hjs, h_vals):
+                        h_refs[hj][...] = h
+                    res[ch] = (pieces[0] if len(pieces) == 1 else
+                               jnp.concatenate(pieces, axis=1))
+                if fuse_mix:
+                    # module output shell (modules/freeverb.py _block
+                    # final mix), same expression order -> parity within
+                    # fma rounding
+                    wet1 = gp_ref[:, 3:4]
+                    wet2 = gp_ref[:, 4:5]
+                    dry = gp_ref[:, 5:6]
+                    out_lane_refs[0][:, sl] = (res[0] * wet1 + res[1] * wet2
+                                               + l_lane * dry)
+                    if not skip_r:
+                        out_lane_refs[1][:, sl] = (res[1] * wet1
+                                                   + res[0] * wet2
+                                                   + r_lane * dry)
+                else:
+                    out_lane_refs[0][:, sl] = res[0]
+                    out_lane_refs[1][:, sl] = res[1]
+            fs_ref[...] = jnp.concatenate(fs_cols + [fs_all[:, n_comb:]],
                                           axis=1)
 
         full_w = min(t_c, DAMP_WINDOW)
         tiers = [w for w in DAMP_TIERS if w < full_w]
         if not tiers:
-            comb_update(full_w)
+            process(full_w)
         else:
             dmax = jnp.max(gp_ref[:, 0])
             lim = DAMP_EPS * (1.0 - dmax)
@@ -223,55 +284,16 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
 
                 @pl.when(cond)
                 def _(w=w):
-                    comb_update(w)
+                    process(w)
 
             @pl.when(need[-1])
             def _():
-                comb_update(full_w)
-
-        outs = [sum(ys[:half_c]), sum(ys[half_c:])]
-        res = [None, None]
-        for ch in range(2):
-            # allpass lines roll in REGISTERS across the span pieces and
-            # write back once per chunk: per-piece ref rolls rebuilt each
-            # full line len(spans) times per chunk (~1.5 ms/s-audio,
-            # probe_fv_parts.py no-ap-roll)
-            hjs = [n_comb + ch * half_a + a for a in range(half_a)]
-            h_vals = [h_refs[hj][...] for hj in hjs]
-            pieces = []
-            for (p0, m) in spans:
-                x = outs[ch][:, p0:p0 + m]
-                for a in range(half_a):
-                    h = h_vals[a]
-                    delayed = h[:, :m]
-                    w = x + delayed * ALLPASS_FEEDBACK
-                    x = delayed - x
-                    h_vals[a] = (w if m == h.shape[1] else
-                                 jnp.concatenate([h[:, m:], w], axis=1))
-                pieces.append(x)
-            for hj, h in zip(hjs, h_vals):
-                h_refs[hj][...] = h
-            res[ch] = pieces[0] if len(pieces) == 1 else jnp.concatenate(
-                pieces, axis=1)
-        if fuse_mix:
-            # module output shell (modules/freeverb.py _block final mix),
-            # same expression order -> parity within fma rounding
-            wet1 = gp_ref[:, 3:4]
-            wet2 = gp_ref[:, 4:5]
-            dry = gp_ref[:, 5:6]
-            out_lane_refs[0][...] = (res[0] * wet1 + res[1] * wet2
-                                     + l_lane * dry)
-            if not skip_r:
-                out_lane_refs[1][...] = (res[1] * wet1 + res[0] * wet2
-                                         + r_lane * dry)
-        else:
-            out_lane_refs[0][...] = res[0]
-            out_lane_refs[1][...] = res[1]
+                process(full_w)
 
     all_lens = tuple(comb_lens) + tuple(ap_lens)
 
     def lane_spec():
-        return pl.BlockSpec((VB, t_c), lambda vt, tt: (vt, tt),
+        return pl.BlockSpec((VB, k_c * t_c), lambda vt, tt: (vt, tt),
                             memory_space=pltpu.VMEM)
 
     def state_spec(width):
@@ -316,7 +338,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
 
         outs = pl.pallas_call(
             kernel,
-            grid=(vp // VB, n_chunks),
+            grid=(vp // VB, n_chunks // k_c),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -334,8 +356,23 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
     return run
 
 
+def pick_k_c(n_chunks: int, t_c: int, n_lanes: int) -> int:
+    """Sub-chunks per grid invocation: the largest divisor of ``n_chunks``
+    whose lane blocks (``n_lanes`` of [VB, k_c*t_c] f32, double-buffered by
+    the Mosaic pipeline) fit a ~4 MB VMEM budget alongside the ~7 MB of
+    resident delay-line state, capped at 8 to bound Mosaic compile time
+    (the tiered kernel body is cloned 3 * k_c times)."""
+    budget = 4 * 2 ** 20
+    kmax = max(1, budget // (n_lanes * VB * t_c * 4 * 2))
+    k = 1
+    for cand in range(2, min(kmax, 8) + 1):
+        if n_chunks % cand == 0:
+            k = cand
+    return k
+
+
 def _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=False, mono=False,
-                skip_r=False):
+                skip_r=False, k_c=1):
     """custom_vmap entry: logical single-voice signature (the block engine
     vmaps modules over voices); the rule passes the batch straight through
     as kernel rows."""
@@ -343,7 +380,7 @@ def _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=False, mono=False,
     def _run():
         return _build(comb_lens, ap_lens, n, t_c,
                       jax.default_backend() != "tpu", fuse_mix, mono,
-                      skip_r)
+                      skip_r, k_c)
 
     @jax.custom_batching.custom_vmap
     def f(*args):
@@ -364,7 +401,8 @@ def _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=False, mono=False,
 
 @functools.lru_cache(maxsize=None)
 def entry(comb_lens, ap_lens, n, t_c):
-    return _make_entry(comb_lens, ap_lens, n, t_c)
+    k_c = pick_k_c(n // t_c, t_c, 3)
+    return _make_entry(comb_lens, ap_lens, n, t_c, k_c=k_c)
 
 
 @functools.lru_cache(maxsize=None)
@@ -373,5 +411,7 @@ def entry_mix(comb_lens, ap_lens, n, t_c, mono, skip_r=False):
     ``f(l, r?, fs [16], damp, feed, in_gain, wet1, wet2, dry, *hists) ->
     (final_l, final_r?, fs_final, *hists_final)``; ``r`` omitted when
     ``mono``, ``final_r`` omitted when ``skip_r`` (dead Right output)."""
+    n_lanes = (1 if mono else 2) + (1 if skip_r else 2)
+    k_c = pick_k_c(n // t_c, t_c, n_lanes)
     return _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=True, mono=mono,
-                       skip_r=skip_r)
+                       skip_r=skip_r, k_c=k_c)
