@@ -31,6 +31,12 @@ from srack_tpu.presets import (drum_machine, farm_params, feedback_patch,
 
 BASELINE_SAMPLES_PER_SEC = 4.8e9
 
+# (name, n, rate_G, peak) per config that completed, replayed as a compact
+# stderr recap immediately before the stdout JSON line: the driver keeps
+# only the last ~2000 chars of output, and an OOM dump mid-run must not
+# push the secondary numbers out of that window (round-4 VERDICT item 3).
+RECAP: list[str] = []
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -68,6 +74,8 @@ def bench_config(name, patch, n, voices, engine="auto", repeats=5,
     log(f"[{name}] voices={voices} n={n} compile={compile_s:.1f}s "
         f"best={best * 1e3:.1f}ms rate={rate / 1e9:.3f}G samples/s "
         f"aggregate_rtf={rtf:.0f}x peak={peak:.3f}")
+    RECAP.append(f"{name}: {rate / 1e9:.2f}G (n={n} v={voices} "
+                 f"peak={peak:.2f})")
     # 0.2% headroom: the sine preset is a deliberately full-scale sine and
     # the fast-mode polynomial sine overshoots |1| by ~1e-5; the assert is
     # for wrong mixer gains (dB-scale clipping), not ulp overshoot
@@ -155,9 +163,11 @@ def main() -> None:
     for name, patch, ns, v in (
         ("sine x1024", sine_patch(cfg), ((1440000, None), (480000, None)),
          1024),
-        # 2 s renders halve the transport fraction (the 1 s farm was 45%
-        # fixed dispatch+fetch); [16384, 1, 96000] f32 output = 6.3 GB HBM
-        ("farm x16384", subtractive_voice(cfg), ((96000, None),), 16384),
+        # 4 s renders cut the transport fraction below ~15% (the 1 s farm
+        # was 45% fixed dispatch+fetch, 2 s still ~30%); [16384, 1, 192000]
+        # f32 output = 12.6 GB HBM -- ladder degrades to 2 s if that OOMs
+        ("farm x16384", subtractive_voice(cfg),
+         ((192000, None), (96000, None)), 16384),
         # the patch is fully serial (cross-FM + filter feedback), so
         # compute is only ~90 cycles/sample
         ("feedback x1024", feedback_patch(cfg),
@@ -242,6 +252,8 @@ def main() -> None:
         log(f"[train x{v} ({K}-step scan)] {per * 1e3:.1f}ms/step "
             f"({v * nt / per / 1e9:.2f}G samples/s through fwd+bwd, "
             f"compile {compile_s:.0f}s, loss {lK:.4f})")
+        RECAP.append(f"train {K}-step: {per * 1e3:.1f}ms/step "
+                     f"({v * nt / per / 1e9:.2f}G fwd+bwd)")
     except Exception as e:
         log(f"[train] failed: {e!r}")
 
@@ -254,7 +266,12 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
         cfg_x = st.AudioConfig(sample_rate=48000, block_size=1024,
                                channels=1, precision="exact")
-        for n_try, seg in ((480000, None), (96000, None), (48000, None)):
+        # segment= rungs first: the 10 s whole-render scan OOMs on
+        # intermediates, which is exactly what device-side segmentation
+        # bounds (compiler._make_segmented) -- the oracle-fidelity mode
+        # deserves a transport-amortized number (round-4 VERDICT item 4)
+        for n_try, seg in ((480000, 96000), (480000, 48000),
+                           (96000, None), (48000, None)):
             try:
                 bench_config(
                     f"exact x1024 (block engine) x{n_try / 48000:g}s",
@@ -266,6 +283,10 @@ def main() -> None:
     except Exception as e:
         log(f"[exact] failed: {e!r}")
 
+    # compact recap: every config's rate in the driver-captured tail
+    log("=== recap (all configs) ===")
+    for line in RECAP:
+        log("  " + line)
     print(json.dumps({
         "metric": "rendered_audio_samples_per_sec_per_chip",
         "value": headline,

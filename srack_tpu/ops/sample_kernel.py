@@ -297,9 +297,12 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
             # vector (128b doesn't touch the low 7 bits) -- vs NBLK
             # round-trips + NBLK per-row 2-chunk slab stacks in the
             # per-block tiers below.  Bounds: consec implies the step's
-            # last index first0 + T_CH-1 <= k-1 (a clip or crossed-reset
-            # would break the equality), so h0 + NBLK <= n_chunks - 1 and
-            # ds(h0, NBLK+1) stays inside the table's n_chunks + WA chunks.
+            # last index first0 + T_CH-1 <= k-1, so h0 + NBLK <= n_chunks
+            # (equality exactly when first0 is 128-aligned, lo0 == 0: the
+            # slab's top chunk is then the FIRST pad chunk -- read but
+            # never selected, since cross is all-false at lo0 == 0).
+            # ds(h0, NBLK+1) therefore needs the table padded to at least
+            # n_chunks + 1 chunks; it is padded to n_chunks + WA (WA >= 1).
             iota_t = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
             first0 = idx[:, :1]
             consec_all = jnp.all(idx == first0 + iota_t)

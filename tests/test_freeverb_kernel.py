@@ -75,6 +75,37 @@ def test_kernel_matches_per_sample_reference():
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
 
+def test_multi_grid_step_kc_state_carry():
+    """k_c sub-chunks spanning MULTIPLE grid steps: n=1280, t_c=128 makes
+    pick_k_c choose k_c=5 (largest divisor of 10 <= 8) over 2 grid steps,
+    so the fs/hist/pow_scr residency BETWEEN k_c-grouped invocations is
+    exercised (every other fixture absorbs all chunks into one grid step;
+    advisor round-4 finding)."""
+    n, t_c = 1280, 128
+    assert fvk.pick_k_c(n // t_c, t_c, 3) == 5  # 2 grid steps
+    rng = np.random.default_rng(6)
+    mixed = rng.normal(size=n).astype(np.float32) * 0.1
+    fs0 = rng.normal(size=16).astype(np.float32) * 0.1
+    damp, feed = np.float32(0.35), np.float32(0.84)
+    hists = [rng.normal(size=l).astype(np.float32) * 0.1
+             for l in COMB_LENS + AP_LENS]
+
+    fn = fvk.entry(COMB_LENS, AP_LENS, n, t_c)
+    outs = fn(jnp.asarray(mixed), jnp.asarray(fs0),
+              jnp.asarray(damp), jnp.asarray(feed),
+              *[jnp.asarray(h) for h in hists])
+    want_l, want_r, want_fs, want_h = _reference(mixed, fs0, damp, feed,
+                                                 hists)
+    np.testing.assert_allclose(np.asarray(outs[0]), want_l,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want_r,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[2]), want_fs,
+                               atol=2e-5, rtol=2e-5)
+    for g, w in zip([np.asarray(h) for h in outs[3:]], want_h):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
+
+
 def test_truncated_damping_window(monkeypatch):
     """The damping scan truncates at DAMP_WINDOW taps (damp <= 0.8 makes
     older contributions sub-f32-rounding).  The default window (128) only

@@ -212,6 +212,29 @@ def test_ragged_n_not_lane_aligned():
     check(gate, cvl, TBL, 600, 2.0)
 
 
+def test_whole_step_consecutive_fast_path():
+    """Deterministically exercise the whole-step consecutive tier
+    (sample_kernel._make_kernel consec_all): gate all-zero, carried
+    playing=True, base rate 1.0, cv unconnected, K > SMALL_CHUNKS*128 --
+    every T_CH block has idx == first0 + iota tile-wide, so the shared
+    (NBLK+1)-chunk slab path runs (the sparse-trigger fixtures above
+    ~never make consec_all true; advisor round-4 finding)."""
+    n = 4096  # two full T_CH=2048 grid steps, no ragged tail
+    gate = np.zeros((R, n), np.float32)
+    # non-128-aligned, 128-ALIGNED (lo0 == 0: the slab's top chunk is the
+    # first pad chunk, the bound-equality case), fractional, and zero
+    pos = np.array([37.0, 256.0, 500.5, 0.0], np.float32)
+    playing = np.ones(R, bool)
+    check(gate, None, TBL, K, 1.0, pos=pos, playing=playing,
+          last=np.zeros(R, bool))
+    # a voice crossing the table end mid-render breaks consec_all for its
+    # step: the kernel must fall back to per-block tiers and stay bit-exact
+    # (crossing voice resets to silence, the others stay consecutive)
+    pos2 = np.array([37.0, 256.0, float(K) - 1500.0, 0.0], np.float32)
+    check(gate, None, TBL, K, 1.0, pos=pos2, playing=playing,
+          last=np.zeros(R, bool))
+
+
 def test_vmap_folds_voices():
     out = jax.vmap(
         lambda g, c, t: sample_kernel.play_table(
