@@ -8,9 +8,11 @@ are Pallas kernels:
   state at every chunk boundary (the checkpointing residual -- tiny:
   states are scalars per voice, not per sample);
 * **backward**: a reverse-chunk-order kernel that *recomputes* the forward
-  within each chunk from its boundary state (storing per-sample states in
-  VMEM scratch) and then runs the per-sample VJP backwards through the
-  chunk, accumulating parameter cotangents in registers.
+  within each chunk from its boundary state (two-level: VMEM scratch holds
+  one state row per ``bwd_unroll`` group; the group's per-sample states
+  recompute in registers during the reverse sweep) and then runs the
+  per-sample VJP backwards through the chunk, accumulating parameter
+  cotangents in registers.
 
 Discrete state (envelope mode ints, edge-detector bools, fixed-point phase
 ints) is treated as constants in the linearisation -- the mathematically
@@ -252,11 +254,16 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 br[...].reshape(br.shape[1:-3] + (SUBLANES, LANES))
                 for br in bnd_refs)
 
-            # per-sample scratch/stream accesses are grouped per unroll
-            # block (one pl.ds read/write of bwd_unroll rows per leaf per
-            # block, not one per sample): dynamic VMEM accesses are tens
-            # of cycles each and with ~20 state leaves the per-sample
-            # stores dominated the whole backward
+            # two-level recompute (round-5): the forward sweep stores ONE
+            # state row per bwd_unroll-group (the group boundary) instead
+            # of every sample -- per-sample storage hit the 16 MB VMEM
+            # scoped ceiling at t_chunk=256 (sweep_vjp.py round 4) -- and
+            # the reverse sweep recomputes the group's per-sample states
+            # in registers from that boundary (bit-identical values: same
+            # ops replayed from the same start).  Scratch accesses stay
+            # grouped (one pl.ds row per group per leaf): dynamic VMEM
+            # accesses are tens of cycles each and with ~20 state leaves
+            # per-sample stores dominated the whole backward.
             def fwd_body(carry, x_rows, u):
                 vals = [c.astype(d) if d == jnp.bool_ else c
                         for c, d in zip(carry, s_dtypes)]
@@ -271,22 +278,19 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 base = jj * bwd_unroll
                 x_rows = [x_refs[j][pl.ds(base, bwd_unroll), 0]
                           for j in range(n_x)]
-                group = []
-                for u in range(bwd_unroll):
-                    group.append(carry)
-                    carry = fwd_body(carry, x_rows, u)
                 for k_l, sc in enumerate(store_scr):
-                    sc[pl.ds(base, bwd_unroll)] = jnp.stack(
-                        [group[u][k_l].reshape(sc.shape[1:])
-                         for u in range(bwd_unroll)])
+                    sc[pl.ds(jj, 1)] = carry[k_l].reshape(
+                        (1,) + sc.shape[1:])
+                for u in range(bwd_unroll):
+                    carry = fwd_body(carry, x_rows, u)
                 return carry
 
             jax.lax.fori_loop(0, t_chunk // bwd_unroll, fwd_body_u,
                               start_leaves)
 
             # ---- reverse sweep ----
-            def bwd_body(i, u, rows, carry):
-                stored_rows, x_rows, cta_rows = rows
+            def bwd_body(i, u, stored_c, rows, carry):
+                x_rows, cta_rows = rows
                 ct_sf = list(carry[:n_sf])
                 pgrads = list(carry[n_sf:])
                 if padded:
@@ -298,9 +302,7 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                         jnp.where(at, c + cf[...].reshape(c.shape)
                                   .astype(c.dtype), c)
                         for c, cf in zip(ct_sf, ctf_refs)]
-                stored = [r[u].astype(d) if d != jnp.bool_ else
-                          r[u].astype(jnp.bool_)
-                          for r, d in zip(stored_rows, s_dtypes)]
+                stored = [c.astype(d) for c, d in zip(stored_c, s_dtypes)]
                 x_vals = [x_rows[j2][u] for j2 in range(n_x)]
                 cta = cta_rows[u]  # (C, 8, 128)
 
@@ -335,14 +337,22 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                 # reversed group order: group jj covers samples
                 # [t_chunk - (jj+1)*bwd_unroll, ...), swept u high -> low
                 base = t_chunk - (jj + 1) * bwd_unroll
-                stored_rows = [sc[pl.ds(base, bwd_unroll)]
-                               for sc in store_scr]
+                g = (t_chunk // bwd_unroll) - 1 - jj
                 x_rows = [x_refs[j2][pl.ds(base, bwd_unroll), 0]
                           for j2 in range(n_x)]
                 cta_rows = cta_ref[pl.ds(base, bwd_unroll), :, 0]
-                rows = (stored_rows, x_rows, cta_rows)
+                # recompute the group's per-sample states in registers
+                # from the stored group-boundary row
+                cg = tuple(sc[pl.ds(g, 1)].reshape(sc.shape[1:])
+                           for sc in store_scr)
+                group = []
+                for u in range(bwd_unroll):
+                    group.append(cg)
+                    if u + 1 < bwd_unroll:
+                        cg = fwd_body(cg, x_rows, u)
+                rows = (x_rows, cta_rows)
                 for u in reversed(range(bwd_unroll)):
-                    carry = bwd_body(base + u, u, rows, carry)
+                    carry = bwd_body(base + u, u, group[u], rows, carry)
                 return carry
 
             carry0 = (tuple(cs[...] for cs in cts_scr)
@@ -409,8 +419,9 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
              for l in pf_tiled]
             + [pltpu.VMEM(s[:-3] + (SUBLANES, LANES), d)
                for s, d in zip(sf_shapes, sf_dtypes)]
-            + [pltpu.VMEM((t_chunk,) + l.shape[1:-3] + (SUBLANES, LANES),
-                          l.dtype) for l in bnd_tiled])
+            + [pltpu.VMEM((t_chunk // bwd_unroll,) + l.shape[1:-3]
+                          + (SUBLANES, LANES), l.dtype)
+               for l in bnd_tiled])
 
         return pl.pallas_call(
             kernel, grid=(n_tiles, n_chunks),
