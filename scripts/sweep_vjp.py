@@ -35,7 +35,9 @@ opt = optax.adam(1e-3)
 float(jax.jit(lambda x: (x * 2).sum())(jnp.ones((8, 128))))
 log("warmed")
 
-VARIANTS = [(128, 1), (128, 4), (128, 8), (128, 16), (256, 8)]
+# round-5: the two-level recompute (one stored state row per bwd_unroll
+# group) lifts the per-sample-store VMEM ceiling that killed t_chunk=256
+VARIANTS = [(128, 8), (256, 8), (256, 16), (512, 8), (512, 16)]
 
 merge = SoundMatcher._merge
 

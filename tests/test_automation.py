@@ -162,6 +162,7 @@ def test_freeverb_wet_automation_exact_on_block():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_freeverb_room_sweep_on_block_engine():
     """The classic room-size sweep renders on the block engine.  damp/feed
     snapshot at each chunk start (documented piecewise-constant

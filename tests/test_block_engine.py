@@ -189,6 +189,7 @@ def test_buffer_feedback_block_matches_oracle():
     np.testing.assert_allclose(np.asarray(a_b), want, atol=3e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_freeverb_block_partial_chunk_state_carry():
     """Regression: renders whose length is not a multiple of the Freeverb
     chunk size must not push padding into the delay lines -- continued

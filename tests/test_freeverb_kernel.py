@@ -47,6 +47,7 @@ def _reference(mixed, fs0, damp, feed, hists):
     return out_l, out_r, fs, h
 
 
+@pytest.mark.slow
 def test_kernel_matches_per_sample_reference():
     rng = np.random.default_rng(0)
     n, t_c = 256, 128
@@ -75,6 +76,7 @@ def test_kernel_matches_per_sample_reference():
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_grid_step_kc_state_carry():
     """k_c sub-chunks spanning MULTIPLE grid steps: n=1280, t_c=128 makes
     pick_k_c choose k_c=5 (largest divisor of 10 <= 8) over 2 grid steps,
@@ -241,6 +243,7 @@ def test_entry_mix_matches_shell():
     np.testing.assert_allclose(np.asarray(got_m[0]), want_ml, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_entry_mix_skip_r():
     """skip_r (dead Right output, block_outs_hint elision) must leave
     final_l and ALL carried state identical to the full fused kernel --

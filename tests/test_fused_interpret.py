@@ -6,6 +6,7 @@ real TPU hardware (bench.py / CLAUDE.md notes).
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import srack_tpu as st
@@ -83,6 +84,7 @@ def test_fused_final_state_with_padded_tail():
                         atol=1e-5, err_msg=f"{mid}.{k}")
 
 
+@pytest.mark.slow
 def test_fused_vjp_padded_tail_final_state_cotangent():
     """d(loss)/d(initial state) through ct_final must be injected at sample
     n-1, not at the padded chunk end (bwd mirror of the snapshot fix)."""
@@ -160,6 +162,7 @@ def test_fused_vjp_interpret_matches_scan_grads():
     assert nonzero >= 4  # gradients actually flowed
 
 
+@pytest.mark.slow
 def test_fused_buffer_feedback_matches_scan_and_oracle():
     """Buffer-feedback compat mode on the fused kernel (per-block kernel
     invocations under an outer scan, fb wires streamed like xs lanes)

@@ -129,6 +129,7 @@ def test_render_many_mesh_places_groups_on_distinct_devices():
     assert len(devs) == 2
 
 
+@pytest.mark.slow
 def test_render_many_balances_load():
     """LPT placement: with more groups than devices, the heaviest groups
     spread across devices instead of landing round-robin on the same few

@@ -57,6 +57,7 @@ def test_uniform_random_worst_case():
     np.testing.assert_array_equal(_run(TBL, idx), _want(TBL, idx))
 
 
+@pytest.mark.slow
 def test_edges_and_tiny_table():
     idx = np.zeros((1, N), np.int32)
     idx[0, :10] = K - 1
@@ -67,6 +68,7 @@ def test_edges_and_tiny_table():
     np.testing.assert_array_equal(_run(tbl, idx2), _want(tbl, idx2))
 
 
+@pytest.mark.slow
 def test_small_table_static_path():
     """Tables at/under SMALL_CHUNKS chunks take the static whole-table
     kernel (no windows); check both sides of the threshold boundary."""

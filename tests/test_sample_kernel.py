@@ -89,6 +89,7 @@ GATE = (RNG.random((R, N)) > 0.998).astype(np.float32)
 ZCV = np.zeros((R, N), np.float32)
 
 
+@pytest.mark.slow
 def test_triggers_rate_one():
     check(GATE, ZCV, TBL, K, 1.0)
 
@@ -187,6 +188,7 @@ def test_fuzz_irrational_rates():
     assert mismatch <= R * N * 1e-3, mismatch
 
 
+@pytest.mark.slow
 def test_batch_scale_long_table():
     """Real-length (48,000-frame) tables at batch scale through the full
     kernel pair -- the workload the round-2 verdict said the toy-table
@@ -199,6 +201,7 @@ def test_batch_scale_long_table():
     check(gate, cvl, tbl, k, 1.5)
 
 
+@pytest.mark.slow
 def test_ragged_n_not_lane_aligned():
     """n neither a T_CH multiple nor a 128 multiple: lanes now go to the
     kernel UNPADDED (the whole-segment pad was a fresh [V, n] HBM copy per
@@ -212,6 +215,7 @@ def test_ragged_n_not_lane_aligned():
     check(gate, cvl, TBL, 600, 2.0)
 
 
+@pytest.mark.slow
 def test_whole_step_consecutive_fast_path():
     """Deterministically exercise the whole-step consecutive tier
     (sample_kernel._make_kernel consec_all): gate all-zero, carried
@@ -235,6 +239,7 @@ def test_whole_step_consecutive_fast_path():
           last=np.zeros(R, bool))
 
 
+@pytest.mark.slow
 def test_vmap_folds_voices():
     out = jax.vmap(
         lambda g, c, t: sample_kernel.play_table(
@@ -244,6 +249,7 @@ def test_vmap_folds_voices():
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+@pytest.mark.slow
 def test_module_block_fused_path_matches_unfused(monkeypatch):
     """Force the module's fused path (interpret mode) and compare with
     the unfused XLA block path at exactly-representable rates."""
