@@ -90,7 +90,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
-           mono=False, skip_r=False, k_c=1):
+           mono=False, skip_r=False, k_c=1, pack_lines=False):
     """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
     n: total samples (multiple of ``k_c * t_c``); t_c: chunk (multiple of
     128, <= min(comb_lens)); ``k_c``: causal sub-chunks processed per grid
@@ -140,16 +140,57 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
     n_out_lanes = 1 if skip_r else 2
     assert not skip_r or fuse_mix  # raw out_r always feeds out_l's wet2
 
+    all_lens = tuple(comb_lens) + tuple(ap_lens)
+    n_lines = len(all_lens)
+    # pack_lines (OFF, kept for interpret-mode study): all 24 delay lines
+    # in ONE [VB, n_lines, max_pad] ref (line index = middle axis,
+    # statically sliced) instead of 24 separate refs each way -- the
+    # ref-count-floor experiment.  NEGATIVE RESULT, round 5: BOTH packed
+    # layouts (flat [VB, sum_pad] and this 3D one) crash the on-platform
+    # Mosaic compiler (tpu_compile_helper exit 1; scripts/r5_fv_pack1.py,
+    # r5_tpu_batch1.py), while interpret mode passes parity.  Moreover
+    # the floor hypothesis itself died: k_c=1 vs k_c=2 single-segment
+    # measured 15.94 vs 16.23 ms/s-audio (equal within noise), so grid-
+    # invocation count is NOT the kernel's binding cost.  Do not flip
+    # this on for TPU without re-testing the compile.
+    max_pad = _ceil_to(max(all_lens), LANES)
+
     def kernel(*refs):
         in_refs = refs[:n_in]
         fs_in_ref, gp_ref = refs[n_in:n_in + 2]
         base = n_in + 2
-        hin_refs = refs[base:base + n_comb + n_ap]
-        o = base + n_comb + n_ap
+        if pack_lines:
+            hin_ref = refs[base]
+            o = base + 1
+        else:
+            hin_refs = refs[base:base + n_lines]
+            o = base + n_lines
         out_lane_refs = refs[o:o + n_out_lanes]
         fs_ref = refs[o + n_out_lanes]
-        h_refs = refs[o + n_out_lanes + 1:-1]
+        if pack_lines:
+            h_ref = refs[o + n_out_lanes + 1]
+        else:
+            h_refs = refs[o + n_out_lanes + 1:-1]
         pow_scr = refs[-1]
+
+        if pack_lines:
+            def h_read(j):
+                return h_ref[:, j, :all_lens[j]]
+
+            def h_tap(j):
+                return h_ref[:, j, :t_c]
+
+            def h_write(j, val):
+                h_ref[:, j, :all_lens[j]] = val
+        else:
+            def h_read(j):
+                return h_refs[j][...]
+
+            def h_tap(j):
+                return h_refs[j][:, :t_c]
+
+            def h_write(j, val):
+                h_refs[j][...] = val
 
         t = pl.program_id(1)
 
@@ -160,8 +201,11 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
         @pl.when(t == 0)
         def _():
             fs_ref[...] = fs_in_ref[...]
-            for hr, hi in zip(h_refs, hin_refs):
-                hr[...] = hi[...]
+            if pack_lines:
+                h_ref[...] = hin_ref[...]
+            else:
+                for hr, hi in zip(h_refs, hin_refs):
+                    hr[...] = hi[...]
             # damp^(t+1) lane vector, shared by all 16 combs and constant
             # across chunks: one doubling per voice tile instead of one
             # general affine chain per comb per chunk
@@ -204,7 +248,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                 if fuse_mix:
                     l_lane = l_full[:, sl]
                     r_lane = l_lane if mono else r_full[:, sl]
-                ys = [h_refs[j][:, :t_c] for j in range(n_comb)]
+                ys = [h_tap(j) for j in range(n_comb)]
                 for j in range(n_comb):
                     B = ys[j] * one_m
                     ds = damp
@@ -215,11 +259,10 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                         s <<= 1
                     fs_t = P * fs_cols[j] + B
                     w = mixed + fs_t * feed
-                    h = h_refs[j][...]
+                    h = h_read(j)
                     # (empty [rows, 0] slices are invalid Mosaic vectors)
-                    h_refs[j][...] = (w if t_c == h.shape[1] else
-                                      jnp.concatenate([h[:, t_c:], w],
-                                                      axis=1))
+                    h_write(j, w if t_c == h.shape[1] else
+                            jnp.concatenate([h[:, t_c:], w], axis=1))
                     fs_cols[j] = fs_t[:, -1:]
 
                 outs = [sum(ys[:half_c]), sum(ys[half_c:])]
@@ -231,7 +274,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                     # per chunk (~1.5 ms/s-audio, probe_fv_parts.py
                     # no-ap-roll)
                     hjs = [n_comb + ch * half_a + a for a in range(half_a)]
-                    h_vals = [h_refs[hj][...] for hj in hjs]
+                    h_vals = [h_read(hj) for hj in hjs]
                     pieces = []
                     for (p0, m) in spans:
                         x = outs[ch][:, p0:p0 + m]
@@ -245,7 +288,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                                                          axis=1))
                         pieces.append(x)
                     for hj, h in zip(hjs, h_vals):
-                        h_refs[hj][...] = h
+                        h_write(hj, h)
                     res[ch] = (pieces[0] if len(pieces) == 1 else
                                jnp.concatenate(pieces, axis=1))
                 if fuse_mix:
@@ -290,8 +333,6 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             def _():
                 process(full_w)
 
-    all_lens = tuple(comb_lens) + tuple(ap_lens)
-
     def lane_spec():
         return pl.BlockSpec((VB, k_c * t_c), lambda vt, tt: (vt, tt),
                             memory_space=pltpu.VMEM)
@@ -325,16 +366,34 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                             (LANES - len(gains)), axis=1))
         hists_p = [padv(h) for h in hists]
 
+        if pack_lines:
+            packed = jnp.stack(
+                [jnp.pad(h, ((0, 0), (0, max_pad - l)))
+                 for h, l in zip(hists_p, all_lens)], axis=1)
+            hist_args = [packed]
+            spec3d = pl.BlockSpec((VB, n_lines, max_pad),
+                                  lambda vt, tt: (vt, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            hist_in_specs = [spec3d]
+            hist_out_specs = [spec3d]
+            hist_out_shape = [jax.ShapeDtypeStruct(
+                (vp, n_lines, max_pad), jnp.float32)]
+        else:
+            hist_args = hists_p
+            hist_in_specs = [state_spec(l) for l in all_lens]
+            hist_out_specs = [state_spec(l) for l in all_lens]
+            hist_out_shape = [jax.ShapeDtypeStruct((vp, l), jnp.float32)
+                              for l in all_lens]
+
         in_specs = ([lane_spec()] * n_in
                     + [state_spec(LANES), state_spec(LANES)]
-                    + [state_spec(l) for l in all_lens])
+                    + hist_in_specs)
         out_specs = ([lane_spec()] * n_out_lanes + [state_spec(LANES)]
-                     + [state_spec(l) for l in all_lens])
+                     + hist_out_specs)
         out_shape = (
             [jax.ShapeDtypeStruct((vp, n), jnp.float32)] * n_out_lanes
             + [jax.ShapeDtypeStruct((vp, LANES), jnp.float32)]
-            + [jax.ShapeDtypeStruct((vp, l), jnp.float32)
-               for l in all_lens])
+            + hist_out_shape)
 
         outs = pl.pallas_call(
             kernel,
@@ -346,11 +405,16 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(*lanes_p, fs_p, gp, *hists_p)
+        )(*lanes_p, fs_p, gp, *hist_args)
 
         lanes_f = tuple(o[:v] for o in outs[:n_out_lanes])
         fs_f = outs[n_out_lanes][:v, :n_comb]
-        hists_f = tuple(h[:v] for h in outs[n_out_lanes + 1:])
+        if pack_lines:
+            hp = outs[n_out_lanes + 1]
+            hists_f = tuple(hp[:v, j, :l]
+                            for j, l in enumerate(all_lens))
+        else:
+            hists_f = tuple(h[:v] for h in outs[n_out_lanes + 1:])
         return lanes_f + (fs_f,) + hists_f
 
     return run
