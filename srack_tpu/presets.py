@@ -198,7 +198,16 @@ def farm_params(patch: Patch, n_voices: int, seed: int = 0) -> dict:
         for inst in patch:
             pd = params[inst.id]
             t = inst.mdef.type_name
-            if t == "Oscillator" and inst.name != "gate_clock":
+            # clocks keep the patch tempo: the farm story is random
+            # *notes/cutoffs/envelopes* over a shared topology (BASELINE
+            # config 5), not per-voice tempos.  The old exclusion matched
+            # only subtractive_voice's "gate_clock", so the kit/sequencer
+            # "clock" oscillators got +-1-octave random tempos -- which
+            # also scattered every voice's trigger positions and knocked
+            # the Sample kernels off their consecutive-read tiers (each
+            # in-config kernel measured 71.7 ms vs ~25 ms per
+            # [1024 x 480k] call, scripts/r5_profile_kit.py, round 5).
+            if t == "Oscillator" and "clock" not in (inst.name or ""):
                 pd["val"] = jnp.float32(pd["val"] + rng.uniform(-1.0, 1.0))
             elif t == "Moog Filter":
                 pd["freq"] = jnp.float32(rng.uniform(0.1, 0.8))

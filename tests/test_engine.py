@@ -209,3 +209,32 @@ def test_second_output_add_fails_cleanly():
         p.add("Output")
     assert len(list(p)) == before
     assert [i.mdef.type_name for i in p].count("Output") == 1
+
+
+def test_farm_params_keep_clock_tempo_shared():
+    """farm_params randomizes notes/cutoffs/envelopes but NOT clocks: a
+    per-voice random clock tempo contradicts the documented farm story
+    (random notes over a shared topology, presets.farm_params) and
+    scatters every voice's trigger positions (round-5 finding: the kit's
+    Sample kernels ran 71.7 ms vs ~25 ms per call with randomized
+    tempos).  Pin: any oscillator whose name contains "clock" keeps an
+    identical val across voices; other oscillators do vary."""
+    from srack_tpu.presets import farm_params, sampler_kit, \
+        subtractive_voice
+
+    saw_clock = saw_varied = False
+    for patch in (sampler_kit(st.AudioConfig()),
+                  subtractive_voice(st.AudioConfig())):
+        params = farm_params(patch, 8)
+        for inst in patch:
+            if inst.mdef.type_name != "Oscillator":
+                continue
+            vals = np.asarray(params[inst.id]["val"])
+            assert vals.shape[0] == 8
+            if "clock" in inst.name:
+                saw_clock = True
+                assert np.all(vals == vals[0]), inst.name
+            else:
+                saw_varied = True
+                assert np.unique(vals).size > 1, inst.name
+    assert saw_clock and saw_varied
