@@ -88,9 +88,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# 2-slot ring combs (see _build): parity-verified in interpret mode
+# (tests/test_freeverb_kernel.py ring cases) but the ring kernel CRASHES
+# the on-platform Mosaic compiler (tpu_compile_helper exit 1) in both the
+# ref-slice and value-slice formulations -- scripts/r5_mosaic_bisect.py
+# isolates the construct.  Keep OFF until a formulation compiles on TPU.
+RING_DEFAULT = False
+
+
 @functools.lru_cache(maxsize=None)
 def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
-           mono=False, skip_r=False, k_c=1, pack_lines=False):
+           mono=False, skip_r=False, k_c=1, pack_lines=False, ring=None):
     """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
     n: total samples (multiple of ``k_c * t_c``); t_c: chunk (multiple of
     128, <= min(comb_lens)); ``k_c``: causal sub-chunks processed per grid
@@ -155,6 +163,24 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
     # this on for TPU without re-testing the compile.
     max_pad = _ceil_to(max(all_lens), LANES)
 
+    # -- 2-slot comb rings (round 5) ------------------------------------
+    # The comb writeback used to ROLL the whole line per chunk
+    # (read L + write L), the kernel's second-largest term (~4.3 of
+    # 11.0 ms/s-audio device, scripts/r5_fv_parts2.py knockouts).  With
+    # k_c == 2 and t_c < L < 2*t_c (true for every comb at standard
+    # sample rates), the line lives in a [VB, 2*t_c] TWO-SLOT RING whose
+    # slot phase is STATIC per sub-chunk: global chunk c = 2*t + kk, the
+    # write slot is c % 2 == kk, and the tap (the oldest t_c samples,
+    # c*t_c - L ..) spans slot kk from static offset o = 2*t_c - L plus
+    # the head of slot 1-kk -- read-before-write, two static slices and
+    # one aligned slot store instead of a full-line roll.  Entry packs
+    # the canonical [V, L] history as pad-left zeros (never read);
+    # exit unpacks the final [V, L] from the two slots.
+    ring_eligible = (not pack_lines and k_c == 2
+                     and all(t_c < l < 2 * t_c for l in comb_lens))
+    use_ring = ring_eligible and (RING_DEFAULT if ring is None else ring)
+    ring_off = [2 * t_c - l for l in comb_lens]
+
     def kernel(*refs):
         in_refs = refs[:n_in]
         fs_in_ref, gp_ref = refs[n_in:n_in + 2]
@@ -191,6 +217,30 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
 
             def h_write(j, val):
                 h_refs[j][...] = val
+
+        if use_ring:
+            def comb_tap(j, kk):
+                # full aligned ref read, then VALUE-level slices: ref-level
+                # unaligned lane starts crash the Mosaic compiler (the
+                # allpass span slices below are value-level and lower fine)
+                o_ = ring_off[j]
+                full = h_refs[j][...]
+                a, b = kk, 1 - kk
+                return jnp.concatenate(
+                    [full[:, a * t_c + o_:(a + 1) * t_c],
+                     full[:, b * t_c:b * t_c + o_]], axis=1)
+
+            def comb_write(j, kk, w):
+                h_refs[j][:, kk * t_c:(kk + 1) * t_c] = w
+        else:
+            def comb_tap(j, kk):
+                return h_tap(j)
+
+            def comb_write(j, kk, w):
+                h = h_read(j)
+                # (empty [rows, 0] slices are invalid Mosaic vectors)
+                h_write(j, w if t_c == h.shape[1] else
+                        jnp.concatenate([h[:, t_c:], w], axis=1))
 
         t = pl.program_id(1)
 
@@ -248,7 +298,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                 if fuse_mix:
                     l_lane = l_full[:, sl]
                     r_lane = l_lane if mono else r_full[:, sl]
-                ys = [h_tap(j) for j in range(n_comb)]
+                ys = [comb_tap(j, kk) for j in range(n_comb)]
                 for j in range(n_comb):
                     B = ys[j] * one_m
                     ds = damp
@@ -259,10 +309,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                         s <<= 1
                     fs_t = P * fs_cols[j] + B
                     w = mixed + fs_t * feed
-                    h = h_read(j)
-                    # (empty [rows, 0] slices are invalid Mosaic vectors)
-                    h_write(j, w if t_c == h.shape[1] else
-                            jnp.concatenate([h[:, t_c:], w], axis=1))
+                    comb_write(j, kk, w)
                     fs_cols[j] = fs_t[:, -1:]
 
                 outs = [sum(ys[:half_c]), sum(ys[half_c:])]
@@ -378,6 +425,17 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             hist_out_specs = [spec3d]
             hist_out_shape = [jax.ShapeDtypeStruct(
                 (vp, n_lines, max_pad), jnp.float32)]
+        elif use_ring:
+            # canonical [V, L] comb history -> 2-slot ring: pad-left
+            # zeros land in the never-read slot-0 head (see use_ring)
+            hist_args = ([jnp.pad(h, ((0, 0), (o_, 0)))
+                          for h, o_ in zip(hists_p[:n_comb], ring_off)]
+                         + hists_p[n_comb:])
+            widths = [2 * t_c] * n_comb + list(ap_lens)
+            hist_in_specs = [state_spec(w_) for w_ in widths]
+            hist_out_specs = [state_spec(w_) for w_ in widths]
+            hist_out_shape = [jax.ShapeDtypeStruct((vp, w_), jnp.float32)
+                              for w_ in widths]
         else:
             hist_args = hists_p
             hist_in_specs = [state_spec(l) for l in all_lens]
@@ -413,6 +471,21 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             hp = outs[n_out_lanes + 1]
             hists_f = tuple(hp[:v, j, :l]
                             for j, l in enumerate(all_lens))
+        elif use_ring:
+            # final canonical [V, L]: the last L samples end at chunk
+            # n_chunks, so slot (n_chunks-1)%2 is newest (whole t_c) and
+            # the older L-t_c samples sit at slot n_chunks%2 from offset o
+            a = n_chunks % 2
+            b = (n_chunks - 1) % 2
+            combs_f = tuple(
+                jnp.concatenate(
+                    [h[:v, a * t_c + o_:(a + 1) * t_c],
+                     h[:v, b * t_c:(b + 1) * t_c]], axis=1)
+                for h, o_ in zip(outs[n_out_lanes + 1:
+                                      n_out_lanes + 1 + n_comb],
+                                 ring_off))
+            hists_f = combs_f + tuple(
+                h[:v] for h in outs[n_out_lanes + 1 + n_comb:])
         else:
             hists_f = tuple(h[:v] for h in outs[n_out_lanes + 1:])
         return lanes_f + (fs_f,) + hists_f
@@ -463,9 +536,17 @@ def _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=False, mono=False,
     return f
 
 
+def _ring_ok(comb_lens, n, t_c) -> bool:
+    """2-slot ring geometry: every comb strictly between t_c and 2*t_c
+    (true at standard sample rates where t_c = floor(min/128)*128) and an
+    even chunk count so k_c=2 keeps slot phases static."""
+    return (all(t_c < l < 2 * t_c for l in comb_lens)
+            and (n // t_c) % 2 == 0)
+
+
 @functools.lru_cache(maxsize=None)
 def entry(comb_lens, ap_lens, n, t_c):
-    k_c = pick_k_c(n // t_c, t_c, 3)
+    k_c = 2 if _ring_ok(comb_lens, n, t_c) else pick_k_c(n // t_c, t_c, 3)
     return _make_entry(comb_lens, ap_lens, n, t_c, k_c=k_c)
 
 
@@ -476,6 +557,7 @@ def entry_mix(comb_lens, ap_lens, n, t_c, mono, skip_r=False):
     (final_l, final_r?, fs_final, *hists_final)``; ``r`` omitted when
     ``mono``, ``final_r`` omitted when ``skip_r`` (dead Right output)."""
     n_lanes = (1 if mono else 2) + (1 if skip_r else 2)
-    k_c = pick_k_c(n // t_c, t_c, n_lanes)
+    k_c = (2 if _ring_ok(comb_lens, n, t_c)
+           else pick_k_c(n // t_c, t_c, n_lanes))
     return _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=True, mono=mono,
                        skip_r=skip_r, k_c=k_c)

@@ -264,3 +264,89 @@ def test_entry_mix_skip_r():
     np.testing.assert_array_equal(np.asarray(skip[0]), np.asarray(full[0]))
     for g, w in zip(skip[1:], full[2:]):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+RING_COMB_LENS = (202, 215, 231, 246, 251, 203, 219, 235,
+                  206, 148, 250, 255, 129, 180, 177, 190)
+
+
+def test_ring_combs_match_reference_and_chain():
+    """2-slot ring comb geometry (t_c < L < 2*t_c forces use_ring with
+    k_c=2): parity vs the per-sample reference AND state continuity --
+    one n=1024 render must bit-match two chained n=512 renders (the
+    chain exercises the ring pack/unpack at both parities of
+    n_chunks)."""
+    t_c = 128
+    assert fvk._ring_ok(RING_COMB_LENS, 1024, t_c)
+    rng = np.random.default_rng(11)
+    mixed = rng.normal(size=1024).astype(np.float32) * 0.1
+    fs0 = rng.normal(size=16).astype(np.float32) * 0.1
+    damp, feed = np.float32(0.35), np.float32(0.84)
+    hists = [rng.normal(size=l).astype(np.float32) * 0.1
+             for l in RING_COMB_LENS + AP_LENS]
+
+    want_l, want_r, want_fs, want_h = _reference(
+        mixed, fs0, damp, feed, hists)
+
+    run = fvk._build(RING_COMB_LENS, AP_LENS, 1024, t_c, True,
+                     k_c=2, ring=True)
+    outs = [o[0] for o in run(
+        jnp.asarray(mixed)[None], jnp.asarray(fs0)[None],
+        jnp.asarray(damp)[None], jnp.asarray(feed)[None],
+        *[jnp.asarray(h)[None] for h in hists])]
+    np.testing.assert_allclose(np.asarray(outs[0]), want_l,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), want_r,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(outs[2]), want_fs,
+                               atol=2e-5, rtol=2e-5)
+    for g, w in zip(outs[3:], want_h):
+        np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, rtol=2e-5)
+
+    # chained halves: bit-identical to the single render (same chunking)
+    run2 = fvk._build(RING_COMB_LENS, AP_LENS, 512, t_c, True,
+                      k_c=2, ring=True)
+    o1 = [o[0] for o in run2(
+        jnp.asarray(mixed[:512])[None], jnp.asarray(fs0)[None],
+        jnp.asarray(damp)[None], jnp.asarray(feed)[None],
+        *[jnp.asarray(h)[None] for h in hists])]
+    o2 = [o[0] for o in run2(
+        jnp.asarray(mixed[512:])[None], jnp.asarray(o1[2])[None],
+        jnp.asarray(damp)[None], jnp.asarray(feed)[None],
+        *[jnp.asarray(h)[None] for h in o1[3:]])]
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(o1[0]), np.asarray(o2[0])]),
+        np.asarray(outs[0]))
+    for g, w in zip(o2[3:], outs[3:]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_ring_combs_entry_mix():
+    """Ring geometry through the fused-shell entry (the bench path)."""
+    t_c, n = 128, 512
+    rng = np.random.default_rng(12)
+    l_in = rng.normal(size=n).astype(np.float32) * 0.1
+    fs0 = rng.normal(size=16).astype(np.float32) * 0.1
+    damp, feed = np.float32(0.2), np.float32(0.84)
+    in_gain, wet1, wet2, dry = (np.float32(0.015), np.float32(0.12),
+                                np.float32(0.06), np.float32(0.3))
+    hists = [rng.normal(size=l).astype(np.float32) * 0.1
+             for l in RING_COMB_LENS + AP_LENS]
+
+    mixed = ((l_in + l_in) * in_gain).astype(np.float32)
+    want_l, want_r, want_fs, want_h = _reference(
+        mixed, fs0, damp, feed, hists)
+    want_final_l = want_l * wet1 + want_r * wet2 + l_in * dry
+
+    run = fvk._build(RING_COMB_LENS, AP_LENS, n, t_c, True,
+                     fuse_mix=True, mono=True, k_c=2, ring=True)
+    outs = [o[0] for o in run(
+        jnp.asarray(l_in)[None], jnp.asarray(fs0)[None],
+        jnp.asarray(damp)[None], jnp.asarray(feed)[None],
+        jnp.asarray(in_gain)[None], jnp.asarray(wet1)[None],
+        jnp.asarray(wet2)[None], jnp.asarray(dry)[None],
+        *[jnp.asarray(h)[None] for h in hists])]
+    np.testing.assert_allclose(np.asarray(outs[0]), want_final_l,
+                               atol=2e-5, rtol=2e-5)
+    for g, w in zip(outs[3:], want_h):
+        np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, rtol=2e-5)
