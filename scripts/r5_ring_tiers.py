@@ -66,9 +66,8 @@ def main():
     log(f"warmup {time.perf_counter()-t0:.1f}s")
     orig = fvk.DAMP_TIERS
     for name, ring, tiers in (
-        ("A ring no-tiers", True, ()),
-        ("B roll no-tiers", False, ()),
-        ("C ring tiers", True, orig),
+        ("ring-v2 tiers", True, orig),
+        ("roll tiers", False, orig),
     ):
         try:
             bench(name, ring, tiers)

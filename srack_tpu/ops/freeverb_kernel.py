@@ -218,29 +218,14 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             def h_write(j, val):
                 h_refs[j][...] = val
 
-        if use_ring:
-            def comb_tap(j, kk):
-                # full aligned ref read, then VALUE-level slices: ref-level
-                # unaligned lane starts crash the Mosaic compiler (the
-                # allpass span slices below are value-level and lower fine)
-                o_ = ring_off[j]
-                full = h_refs[j][...]
-                a, b = kk, 1 - kk
-                return jnp.concatenate(
-                    [full[:, a * t_c + o_:(a + 1) * t_c],
-                     full[:, b * t_c:b * t_c + o_]], axis=1)
+        def comb_tap(j, kk):
+            return h_tap(j)
 
-            def comb_write(j, kk, w):
-                h_refs[j][:, kk * t_c:(kk + 1) * t_c] = w
-        else:
-            def comb_tap(j, kk):
-                return h_tap(j)
-
-            def comb_write(j, kk, w):
-                h = h_read(j)
-                # (empty [rows, 0] slices are invalid Mosaic vectors)
-                h_write(j, w if t_c == h.shape[1] else
-                        jnp.concatenate([h[:, t_c:], w], axis=1))
+        def comb_write(j, kk, w):
+            h = h_read(j)
+            # (empty [rows, 0] slices are invalid Mosaic vectors)
+            h_write(j, w if t_c == h.shape[1] else
+                    jnp.concatenate([h[:, t_c:], w], axis=1))
 
         t = pl.program_id(1)
 
@@ -292,35 +277,31 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             (probe_fv_parts.py no-fs-col)."""
             fs_all = fs_ref[...]
             fs_cols = [fs_all[:, j:j + 1] for j in range(n_comb)]
-            for kk in range(k_c):
+
+            def scan_w(y, j, mixed):
+                B = y * one_m
+                ds = damp
+                s = 1
+                while s < min(t_c, window):
+                    B = B + ds * _shift(B, s, 0.0)
+                    ds = ds * ds
+                    s <<= 1
+                fs_t = P * fs_cols[j] + B
+                w = mixed + fs_t * feed
+                fs_cols[j] = fs_t[:, -1:]
+                return w
+
+            def ap_out(kk, outs):
                 sl = slice(kk * t_c, (kk + 1) * t_c)
-                mixed = mixed_full[:, sl]
                 if fuse_mix:
                     l_lane = l_full[:, sl]
                     r_lane = l_lane if mono else r_full[:, sl]
-                ys = [comb_tap(j, kk) for j in range(n_comb)]
-                for j in range(n_comb):
-                    B = ys[j] * one_m
-                    ds = damp
-                    s = 1
-                    while s < min(t_c, window):
-                        B = B + ds * _shift(B, s, 0.0)
-                        ds = ds * ds
-                        s <<= 1
-                    fs_t = P * fs_cols[j] + B
-                    w = mixed + fs_t * feed
-                    comb_write(j, kk, w)
-                    fs_cols[j] = fs_t[:, -1:]
-
-                outs = [sum(ys[:half_c]), sum(ys[half_c:])]
                 res = [None, None]
                 for ch in range(2):
                     # allpass lines roll in REGISTERS across the span
-                    # pieces and write back once per sub-chunk: per-piece
-                    # ref rolls rebuilt each full line len(spans) times
-                    # per chunk (~1.5 ms/s-audio, probe_fv_parts.py
-                    # no-ap-roll)
-                    hjs = [n_comb + ch * half_a + a for a in range(half_a)]
+                    # pieces and write back once per sub-chunk
+                    hjs = [n_comb + ch * half_a + a
+                           for a in range(half_a)]
                     h_vals = [h_read(hj) for hj in hjs]
                     pieces = []
                     for (p0, m) in spans:
@@ -345,7 +326,8 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                     wet1 = gp_ref[:, 3:4]
                     wet2 = gp_ref[:, 4:5]
                     dry = gp_ref[:, 5:6]
-                    out_lane_refs[0][:, sl] = (res[0] * wet1 + res[1] * wet2
+                    out_lane_refs[0][:, sl] = (res[0] * wet1
+                                               + res[1] * wet2
                                                + l_lane * dry)
                     if not skip_r:
                         out_lane_refs[1][:, sl] = (res[1] * wet1
@@ -354,6 +336,50 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                 else:
                     out_lane_refs[0][:, sl] = res[0]
                     out_lane_refs[1][:, sl] = res[1]
+
+            if use_ring:
+                # comb-major, tap-preassembled layout: slot0 holds the
+                # NEXT chunk's tap y(2t) pre-assembled at the previous
+                # writeback, slot1 the previous chunk's written samples
+                # w(2t-1).  Every ref access is a full aligned [VB, 2*t_c]
+                # read/write; the o_-offset recombination happens on
+                # register VALUES only (w0/w_prev), the construct class
+                # the allpass section already uses.  Summation order of
+                # the taps into outs matches the roll path's sum()
+                # (ascending j), keeping f32 parity.
+                mixeds = [mixed_full[:, kk * t_c:(kk + 1) * t_c]
+                          for kk in range(2)]
+                outs_kk = [[None, None], [None, None]]
+                for j in range(n_comb):
+                    o_ = ring_off[j]
+                    ring_v = h_refs[j][...]
+                    tap0 = ring_v[:, :t_c]
+                    w_prev = ring_v[:, t_c:]
+                    w0 = scan_w(tap0, j, mixeds[0])
+                    tap1 = jnp.concatenate(
+                        [w_prev[:, o_:], w0[:, :o_]], axis=1)
+                    w1 = scan_w(tap1, j, mixeds[1])
+                    # slot0 <- y(2t+2) = [w0 tail | w1 head]; slot1 <- w1
+                    h_refs[j][...] = jnp.concatenate(
+                        [w0[:, o_:], w1[:, :o_], w1], axis=1)
+                    ch = j // half_c
+                    for kk, tap in ((0, tap0), (1, tap1)):
+                        cur = outs_kk[kk][ch]
+                        outs_kk[kk][ch] = (tap if cur is None
+                                           else cur + tap)
+                for kk in range(2):
+                    ap_out(kk, outs_kk[kk])
+                fs_ref[...] = jnp.concatenate(
+                    fs_cols + [fs_all[:, n_comb:]], axis=1)
+                return
+
+            for kk in range(k_c):
+                mixed = mixed_full[:, kk * t_c:(kk + 1) * t_c]
+                ys = [comb_tap(j, kk) for j in range(n_comb)]
+                for j in range(n_comb):
+                    w = scan_w(ys[j], j, mixed)
+                    comb_write(j, kk, w)
+                ap_out(kk, [sum(ys[:half_c]), sum(ys[half_c:])])
             fs_ref[...] = jnp.concatenate(fs_cols + [fs_all[:, n_comb:]],
                                           axis=1)
 
@@ -426,10 +452,12 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             hist_out_shape = [jax.ShapeDtypeStruct(
                 (vp, n_lines, max_pad), jnp.float32)]
         elif use_ring:
-            # canonical [V, L] comb history -> 2-slot ring: pad-left
-            # zeros land in the never-read slot-0 head (see use_ring)
-            hist_args = ([jnp.pad(h, ((0, 0), (o_, 0)))
-                          for h, o_ in zip(hists_p[:n_comb], ring_off)]
+            # canonical [V, L] comb history -> tap-preassembled ring:
+            # slot0 = the first chunk's tap (the oldest t_c samples),
+            # slot1 = the newest t_c samples (the "previous w")
+            hist_args = ([jnp.concatenate([h[:, :t_c], h[:, l - t_c:]],
+                                          axis=1)
+                          for h, l in zip(hists_p[:n_comb], comb_lens)]
                          + hists_p[n_comb:])
             widths = [2 * t_c] * n_comb + list(ap_lens)
             hist_in_specs = [state_spec(w_) for w_ in widths]
@@ -472,15 +500,11 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             hists_f = tuple(hp[:v, j, :l]
                             for j, l in enumerate(all_lens))
         elif use_ring:
-            # final canonical [V, L]: the last L samples end at chunk
-            # n_chunks, so slot (n_chunks-1)%2 is newest (whole t_c) and
-            # the older L-t_c samples sit at slot n_chunks%2 from offset o
-            a = n_chunks % 2
-            b = (n_chunks - 1) % 2
+            # final canonical [V, L]: slot0 already holds the oldest t_c
+            # samples (the next tap, = h'[:t_c]) and slot1 the newest t_c
+            # (= h'[L-t_c:]); the overlap of size o_ drops from slot1
             combs_f = tuple(
-                jnp.concatenate(
-                    [h[:v, a * t_c + o_:(a + 1) * t_c],
-                     h[:v, b * t_c:(b + 1) * t_c]], axis=1)
+                jnp.concatenate([h[:v, :t_c], h[:v, t_c + o_:]], axis=1)
                 for h, o_ in zip(outs[n_out_lanes + 1:
                                       n_out_lanes + 1 + n_comb],
                                  ring_off))
