@@ -217,9 +217,7 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                     g1 = jnp.take_along_axis(slab[:, 1, :], lo, axis=1)
                     out_ref[:, sl] = jnp.where(hi == h0, g0, g1)
 
-                @pl.when(jnp.logical_and(jnp.logical_not(zb),
-                                         jnp.logical_not(consec)))
-                def _(ix=ix, first=first, hi=hi, lo=lo, sl=sl):
+                def general(wa, ix=ix, first=first, hi=hi, lo=lo, sl=sl):
                     # general window, anchored at the block's own first
                     # index: in-window rows take from the slab, trigger
                     # restarts / end resets land in the WB head chunks,
@@ -227,10 +225,10 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                     base_v = jnp.right_shift(first, 7)
                     b_scr[...] = base_v
                     slabs = jnp.stack(
-                        [tbl_ref[r, pl.ds(b_scr[r, 0], WA), :]
+                        [tbl_ref[r, pl.ds(b_scr[r, 0], wa), :]
                          for r in range(rb)])
                     acc = jnp.zeros((rb, LANES), jnp.float32)
-                    for w in range(WA):
+                    for w in range(wa):
                         gth = jnp.take_along_axis(slabs[:, w, :], lo,
                                                   axis=1)
                         acc = jnp.where(hi == base_v + w, gth, acc)
@@ -243,7 +241,7 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                     # uncovered indices
                     local = ix - (base_v << 7)
                     covered = jnp.logical_or(
-                        jnp.logical_and(local >= 0, local < WA * LANES),
+                        jnp.logical_and(local >= 0, local < wa * LANES),
                         ix < WB * LANES)
                     r0 = jnp.right_shift(
                         jnp.min(jnp.where(covered, BIG, ix)), 7)
@@ -264,6 +262,31 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
 
                         out_ref[:, sl] = jax.lax.fori_loop(
                             r0, r1 + 1, body, acc)
+
+                gen_cond = jnp.logical_and(jnp.logical_not(zb),
+                                           jnp.logical_not(consec))
+                if cv_none:
+                    # slim tier (scattered-trigger workloads): at rate
+                    # <= 1 a block's non-reset indices ascend < 128 from
+                    # `first` (2 chunks) and reset rows land in the WB
+                    # head, so a 2-chunk slab replaces the WA-chunk one
+                    # -- 4 take_alongs instead of WA+WB=7 per general
+                    # block (rate is the per-row constant `base` here;
+                    # with CV it varies per sample, no static bound)
+                    slim = jnp.max(base) <= 1.0
+
+                    @pl.when(jnp.logical_and(gen_cond, slim))
+                    def _():
+                        general(2)
+
+                    @pl.when(jnp.logical_and(gen_cond,
+                                             jnp.logical_not(slim)))
+                    def _():
+                        general(WA)
+                else:
+                    @pl.when(gen_cond)
+                    def _():
+                        general(WA)
 
         if small:
             # static whole-table match (sample_gather._make_small_kernel)

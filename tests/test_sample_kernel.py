@@ -292,3 +292,17 @@ def test_eligibility_gates():
     assert not sample_kernel.eligible(t1.astype(jnp.float64), g1, 4096)
     assert not sample_kernel.eligible(t1, g1.astype(jnp.float64), 4096)
     assert not sample_kernel.eligible(t1, g1, 512)
+
+
+def test_scattered_triggers_slim_general_tier():
+    """Per-row DESYNCHRONIZED random triggers at rate <= 1.0 (the
+    heterogeneous-kit workload): most blocks fail the all-rows
+    consecutive checks and take the general window tier, which at
+    max(base) <= 1.0 runs the round-5 slim 2-chunk slab.  Bit-parity
+    against the serial reference, including a sub-1 rate and a ragged
+    tail."""
+    rng = np.random.default_rng(77)
+    n = 4096 + 100
+    gate = (rng.random((R, n)) < 1.0 / 900.0).astype(np.float32)
+    check(gate, None, TBL, K, 1.0)
+    check(gate, None, TBL, K, 0.5)
