@@ -208,8 +208,11 @@ def main() -> None:
         v, nt = 1024, 48000
         sm = SoundMatcher(patch, nt)
         ts = sm.init()
+        # packed=True: loss in the kernels' tiled layout skips the
+        # [V, n] <-> tiled transposes around the custom_vjp (~8.5 of
+        # ~17 ms device per step at this shape, round-5 device trace)
         step = jax.jit(batched_train_step(compiled, optax.adam(1e-3), nt,
-                                          fast=True))
+                                          fast=True, packed=True))
         targets = jnp.zeros((v, cfg.channels, nt), jnp.float32)
         keys = jax.random.split(jax.random.PRNGKey(2), v)
         t0 = time.perf_counter()
@@ -233,9 +236,9 @@ def main() -> None:
         # tunnel would otherwise be billed to every step -- measured
         # single-step is 28 transport + ~17 compute)
         from srack_tpu.utils.train import multi_train_step
-        K = 8
+        K = 32
         mstep = jax.jit(multi_train_step(compiled, optax.adam(1e-3), nt, K,
-                                         fast=True))
+                                         fast=True, packed=True))
         t0 = time.perf_counter()
         tr2, opt2, losses = mstep(ts["train"], ts["frozen"],
                                   optax.adam(1e-3).init(ts["train"]),

@@ -480,7 +480,8 @@ class CompiledPatch:
             self._fn_cache.put(cache_key, fn)
         return fn
 
-    def grad_render_fn(self, n: int, batched: bool = True):
+    def grad_render_fn(self, n: int, batched: bool = True,
+                       packed_audio: bool = False):
         """A differentiable batched render at kernel speed.
 
         ``jax.grad`` cannot flow through the Pallas kernels directly.  For
@@ -490,13 +491,24 @@ class CompiledPatch:
         plain program in a ``custom_vjp`` whose backward differentiates the
         scan-engine program.  Signature: ``(params, state, keys, drivers)
         -> (audio, probes, final_state)``.
+
+        ``packed_audio`` (fused path only): return audio in the kernels'
+        native ``[n, C, V_tiles, 8, 128]`` layout and accept the audio
+        cotangent in the same layout -- skips the [V, n] <-> tiled
+        transposes around the custom_vjp (~8.5 ms of a ~17 ms grad step
+        at 1024 x 48k).  Pack targets with ``ops.fused_vjp.pack_lanes``.
+        Requires the fused path (raises otherwise).
         """
         use_fused = (batched and self.fused_eligible()
                      and not self.cfg.buffer_feedback
                      and jax.default_backend() == "tpu")
+        if packed_audio and not use_fused:
+            raise ValueError("packed_audio requires the fused Pallas-VJP "
+                             "path (batched, fused-eligible, TPU)")
         if use_fused:
             from .ops import fused_vjp
-            return fused_vjp.make_fused_vjp(self, n)
+            return fused_vjp.make_fused_vjp(self, n,
+                                            packed_audio=packed_audio)
         scan_fn = self.make_render_fn(n, batched=batched)
         fast_fn = scan_fn
 

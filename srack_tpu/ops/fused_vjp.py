@@ -46,8 +46,21 @@ def _zero_ct(x):
     return np.zeros(jnp.shape(x), jax_dtypes.float0)
 
 
+def pack_lanes(x):
+    """[V, C, n] -> the kernels' native packed layout
+    [n, C, V_tiles, 8, 128].  Train against packed targets to skip the
+    [V, n] <-> tiled transposes around the custom_vjp (the transpose and
+    its JVP measured ~8.5 ms of a ~17 ms grad step at 1024 x 48k,
+    scripts/r5_tpu_batch6.py device trace)."""
+    v = x.shape[0]
+    vp = ceil_to(max(v, 1), TILE_VOICES)
+    return jnp.stack([to_tiles(x[:, c], v, vp)
+                      for c in range(x.shape[1])], axis=1)
+
+
 def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
-                   bwd_unroll: int = 8, interpret: bool = None):
+                   bwd_unroll: int = 8, interpret: bool = None,
+                   packed_audio: bool = False):
     """Build a differentiable batched render with Pallas fwd + bwd.
 
     Returns ``fn(params, state, keys, drivers) -> (audio, {}, final_state)``
@@ -468,9 +481,15 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
         audio_packed = results[0]
         finals = results[1:1 + n_s]
         bnds = results[1 + n_s:]
-        chans = [from_tiles(audio_packed[:, c], v, CV_DTYPE)[:, :n]
-                 for c in range(n_ch)]
-        audio = jnp.stack(chans, axis=1)
+        if packed_audio:
+            # stay in the kernels' [n, C, tiles, 8, 128] layout: the
+            # [V, n] untiling transpose (and its JVP on the cotangent
+            # side) is pure overhead when the loss consumes packed lanes
+            audio = audio_packed[:n]
+        else:
+            chans = [from_tiles(audio_packed[:, c], v, CV_DTYPE)[:, :n]
+                     for c in range(n_ch)]
+            audio = jnp.stack(chans, axis=1)
         final_leaves = [from_tiles(l, v, d)
                         for l, d in zip(finals, s_dtypes)]
         final_state = jax.tree.unflatten(state_def, final_leaves)
@@ -497,11 +516,16 @@ def make_fused_vjp(compiled, n: int, t_chunk: int = 128, unroll: int = 4,
                   if jnp.issubdtype(d, jnp.floating)]
 
         cta = jnp.nan_to_num(jnp.asarray(ct_audio, CV_DTYPE))
-        if np_ != n:
-            cta = jnp.pad(cta, ((0, 0), (0, 0), (0, np_ - n)))
-        # [V, C, T] -> packed [T, C, tiles, 8, 128]
-        cta_tiled = jnp.stack(
-            [to_tiles(cta[:, c], v, vp) for c in range(n_ch)], axis=1)
+        if packed_audio:
+            # cotangent arrives in the packed layout already
+            cta_tiled = (cta if np_ == n else
+                         jnp.pad(cta, ((0, np_ - n),) + ((0, 0),) * 4))
+        else:
+            if np_ != n:
+                cta = jnp.pad(cta, ((0, 0), (0, 0), (0, np_ - n)))
+            # [V, C, T] -> packed [T, C, tiles, 8, 128]
+            cta_tiled = jnp.stack(
+                [to_tiles(cta[:, c], v, vp) for c in range(n_ch)], axis=1)
 
         ctf_leaves = jax.tree.leaves(ct_final)
         ctf_tiled = [to_tiles(jnp.asarray(ctf_leaves[i]).astype(s_dtypes[i]),

@@ -102,7 +102,7 @@ class SoundMatcher:
 
 def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
                        loss_fn: Callable = waveform_l2, fast: bool = False,
-                       mesh=None):
+                       mesh=None, packed: bool = False):
     """A jittable *batched* training step.
 
     Shared (replicated) trainable params, a batch of targets + noise keys:
@@ -117,10 +117,21 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
     in ``jax.shard_map`` over the batch axis: each device runs the fused
     forward+backward kernels on its batch shard, and shard_map's transpose
     inserts the gradient psum for the replicated params.
+
+    ``packed=True`` (fast, single-chip, ELEMENTWISE losses only, V a
+    multiple of the 1024-voice tile): render and compare in the kernels'
+    packed ``[n, C, tiles, 8, 128]`` layout -- targets are packed once
+    per dispatch and the loss_fn is applied to the packed arrays
+    directly (identical global mean for elementwise losses), skipping
+    the [V, n] <-> tiled transposes whose fwd+cotangent cost measured
+    ~8.5 ms of a ~17 ms grad step at 1024 x 48k (round-5 device trace).
     """
+    if packed and (not fast or mesh is not None):
+        raise ValueError("packed=True requires fast=True and no mesh")
 
     if fast:
-        gr = compiled.grad_render_fn(n_samples, batched=True)
+        gr = compiled.grad_render_fn(n_samples, batched=True,
+                                     packed_audio=packed)
 
         def _render_shard(params, keys):
             v = keys.shape[0]
@@ -151,10 +162,28 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
             return jax.vmap(render_one, in_axes=(None, 0))(params, keys)
 
     def step(train, frozen, opt_state, targets, keys):
+        if packed:
+            from ..ops import fused_vjp as _fv
+            if targets.ndim == 5:      # already packed (multi_train_step)
+                tgt = targets
+            else:
+                if targets.shape[0] % _fv.TILE_VOICES:
+                    raise ValueError(
+                        f"packed=True needs V % {_fv.TILE_VOICES} == 0 "
+                        "(zero-padded tile voices would contaminate the "
+                        "loss)")
+                tgt = _fv.pack_lanes(targets)
+        else:
+            tgt = targets
+
         def loss_of(train):
             params = SoundMatcher._merge(train, frozen)
             audio = render_batchd(params, keys)
-            return jax.vmap(loss_fn)(audio, targets).mean()
+            if packed:
+                # elementwise loss on the packed arrays: same global
+                # mean, no per-voice vmap axis needed
+                return loss_fn(audio, tgt)
+            return jax.vmap(loss_fn)(audio, tgt).mean()
 
         loss, grads = jax.value_and_grad(loss_of)(train)
         updates, opt_state = optimizer.update(grads, opt_state, train)
@@ -166,7 +195,7 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
 
 def multi_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
                      n_steps: int, loss_fn: Callable = waveform_l2,
-                     fast: bool = False, mesh=None):
+                     fast: bool = False, mesh=None, packed: bool = False):
     """``n_steps`` optimisation steps in ONE jitted dispatch.
 
     A ``lax.scan`` over :func:`batched_train_step` against fixed targets:
@@ -180,9 +209,15 @@ def multi_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
     noise lanes, like an un-scanned loop would.
     """
     one = batched_train_step(compiled, optimizer, n_samples,
-                             loss_fn=loss_fn, fast=fast, mesh=mesh)
+                             loss_fn=loss_fn, fast=fast, mesh=mesh,
+                             packed=packed)
 
     def run(train, frozen, opt_state, targets, keys):
+        if packed and targets.ndim != 5:
+            # pack ONCE per dispatch, outside the step scan
+            from ..ops import fused_vjp as _fv
+            targets = _fv.pack_lanes(targets)
+
         def body(carry, i):
             tr, opt = carry
             ks = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)

@@ -192,3 +192,49 @@ def test_fused_buffer_feedback_matches_scan_and_oracle():
                                atol=3e-6, rtol=0)
     want = oracle_render(patch, n)
     np.testing.assert_allclose(np.asarray(a_f[0]), want, atol=3e-4, rtol=0)
+
+
+def test_packed_audio_vjp_matches_unpacked():
+    """packed_audio=True (round 5): audio/cotangent stay in the kernels'
+    [n, C, tiles, 8, 128] layout.  At V == TILE_VOICES (no pad voices)
+    an elementwise loss over the packed array is the same global mean,
+    so loss AND parameter gradients must match the unpacked path."""
+    from srack_tpu.ops.fused_vjp import make_fused_vjp, pack_lanes
+
+    cfg = st.AudioConfig(sample_rate=4800, block_size=64, channels=1,
+                         precision="fast")
+    patch = subtractive_voice(cfg, gate_rate_oct=-1.0)
+    compiled = st.compile_patch(patch)
+    v, n = 1024, 64
+    params = farm_params(patch, v)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (v,) + a.shape),
+                         compiled.init_state())
+    keys = jax.random.split(jax.random.PRNGKey(0), v)
+    rng = np.random.default_rng(5)
+    targets = jnp.asarray(rng.normal(size=(v, 1, n)).astype(np.float32))
+
+    r_plain = make_fused_vjp(compiled, n, interpret=True)
+    r_packed = make_fused_vjp(compiled, n, interpret=True,
+                              packed_audio=True)
+    tgt_p = pack_lanes(targets)
+
+    def loss_plain(p):
+        audio, _, _ = r_plain(p, state, keys, {})
+        return jnp.mean((audio - targets) ** 2)
+
+    def loss_packed(p):
+        audio, _, _ = r_packed(p, state, keys, {})
+        return jnp.mean((audio - tgt_p) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss_plain)(params)
+    l1, g1 = jax.value_and_grad(loss_packed)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict((jax.tree_util.keystr(k), v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(g1))
+    for k, a in flat0:
+        b = flat1[jax.tree_util.keystr(k)]
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5,
+                                       err_msg=jax.tree_util.keystr(k))
