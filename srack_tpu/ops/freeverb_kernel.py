@@ -98,7 +98,7 @@ RING_DEFAULT = False
 
 @functools.lru_cache(maxsize=None)
 def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
-           mono=False, skip_r=False, k_c=1, pack_lines=False, ring=None):
+           mono=False, skip_r=False, k_c=1, ring=None):
     """comb_lens: 16 lengths (cl0..7, cr0..7); ap_lens: 8 (al0..3, ar0..3);
     n: total samples (multiple of ``k_c * t_c``); t_c: chunk (multiple of
     128, <= min(comb_lens)); ``k_c``: causal sub-chunks processed per grid
@@ -150,18 +150,13 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
 
     all_lens = tuple(comb_lens) + tuple(ap_lens)
     n_lines = len(all_lens)
-    # pack_lines (OFF, kept for interpret-mode study): all 24 delay lines
-    # in ONE [VB, n_lines, max_pad] ref (line index = middle axis,
-    # statically sliced) instead of 24 separate refs each way -- the
-    # ref-count-floor experiment.  NEGATIVE RESULT, round 5: BOTH packed
-    # layouts (flat [VB, sum_pad] and this 3D one) crash the on-platform
-    # Mosaic compiler (tpu_compile_helper exit 1; scripts/r5_fv_pack1.py,
-    # r5_tpu_batch1.py), while interpret mode passes parity.  Moreover
-    # the floor hypothesis itself died: k_c=1 vs k_c=2 single-segment
-    # measured 15.94 vs 16.23 ms/s-audio (equal within noise), so grid-
-    # invocation count is NOT the kernel's binding cost.  Do not flip
-    # this on for TPU without re-testing the compile.
-    max_pad = _ceil_to(max(all_lens), LANES)
+    # NOTE (round-5 negative result): packing all 24 delay lines into ONE
+    # ref (flat [VB, sum_pad] or 3D [VB, n_lines, max_pad]) crashes the
+    # on-platform Mosaic compiler (tpu_compile_helper exit 1;
+    # scripts/r5_fv_pack1.py, r5_tpu_batch1.py) while interpret mode
+    # passes parity, and the per-invocation-floor hypothesis it targeted
+    # died anyway (k_c=1 == k_c=2 single-segment within noise).  The
+    # experimental pack_lines code was removed; see git history.
 
     # -- 2-slot comb rings (round 5) ------------------------------------
     # The comb writeback used to ROLL the whole line per chunk
@@ -176,7 +171,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
     # one aligned slot store instead of a full-line roll.  Entry packs
     # the canonical [V, L] history as pad-left zeros (never read);
     # exit unpacks the final [V, L] from the two slots.
-    ring_eligible = (not pack_lines and k_c == 2
+    ring_eligible = (k_c == 2
                      and all(t_c < l < 2 * t_c for l in comb_lens))
     use_ring = ring_eligible and (RING_DEFAULT if ring is None else ring)
     ring_off = [2 * t_c - l for l in comb_lens]
@@ -185,38 +180,21 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
         in_refs = refs[:n_in]
         fs_in_ref, gp_ref = refs[n_in:n_in + 2]
         base = n_in + 2
-        if pack_lines:
-            hin_ref = refs[base]
-            o = base + 1
-        else:
-            hin_refs = refs[base:base + n_lines]
-            o = base + n_lines
+        hin_refs = refs[base:base + n_lines]
+        o = base + n_lines
         out_lane_refs = refs[o:o + n_out_lanes]
         fs_ref = refs[o + n_out_lanes]
-        if pack_lines:
-            h_ref = refs[o + n_out_lanes + 1]
-        else:
-            h_refs = refs[o + n_out_lanes + 1:-1]
+        h_refs = refs[o + n_out_lanes + 1:-1]
         pow_scr = refs[-1]
 
-        if pack_lines:
-            def h_read(j):
-                return h_ref[:, j, :all_lens[j]]
+        def h_read(j):
+            return h_refs[j][...]
 
-            def h_tap(j):
-                return h_ref[:, j, :t_c]
+        def h_tap(j):
+            return h_refs[j][:, :t_c]
 
-            def h_write(j, val):
-                h_ref[:, j, :all_lens[j]] = val
-        else:
-            def h_read(j):
-                return h_refs[j][...]
-
-            def h_tap(j):
-                return h_refs[j][:, :t_c]
-
-            def h_write(j, val):
-                h_refs[j][...] = val
+        def h_write(j, val):
+            h_refs[j][...] = val
 
         def comb_tap(j, kk):
             return h_tap(j)
@@ -236,11 +214,8 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
         @pl.when(t == 0)
         def _():
             fs_ref[...] = fs_in_ref[...]
-            if pack_lines:
-                h_ref[...] = hin_ref[...]
-            else:
-                for hr, hi in zip(h_refs, hin_refs):
-                    hr[...] = hi[...]
+            for hr, hi in zip(h_refs, hin_refs):
+                hr[...] = hi[...]
             # damp^(t+1) lane vector, shared by all 16 combs and constant
             # across chunks: one doubling per voice tile instead of one
             # general affine chain per comb per chunk
@@ -439,19 +414,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
                             (LANES - len(gains)), axis=1))
         hists_p = [padv(h) for h in hists]
 
-        if pack_lines:
-            packed = jnp.stack(
-                [jnp.pad(h, ((0, 0), (0, max_pad - l)))
-                 for h, l in zip(hists_p, all_lens)], axis=1)
-            hist_args = [packed]
-            spec3d = pl.BlockSpec((VB, n_lines, max_pad),
-                                  lambda vt, tt: (vt, 0, 0),
-                                  memory_space=pltpu.VMEM)
-            hist_in_specs = [spec3d]
-            hist_out_specs = [spec3d]
-            hist_out_shape = [jax.ShapeDtypeStruct(
-                (vp, n_lines, max_pad), jnp.float32)]
-        elif use_ring:
+        if use_ring:
             # canonical [V, L] comb history -> tap-preassembled ring:
             # slot0 = the first chunk's tap (the oldest t_c samples),
             # slot1 = the newest t_c samples (the "previous w")
@@ -495,11 +458,7 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
 
         lanes_f = tuple(o[:v] for o in outs[:n_out_lanes])
         fs_f = outs[n_out_lanes][:v, :n_comb]
-        if pack_lines:
-            hp = outs[n_out_lanes + 1]
-            hists_f = tuple(hp[:v, j, :l]
-                            for j, l in enumerate(all_lens))
-        elif use_ring:
+        if use_ring:
             # final canonical [V, L]: slot0 already holds the oldest t_c
             # samples (the next tap, = h'[:t_c]) and slot1 the newest t_c
             # (= h'[L-t_c:]); the overlap of size o_ drops from slot1
