@@ -74,14 +74,17 @@ def bench_config(name, patch, n, voices, engine="auto", repeats=5,
     log(f"[{name}] voices={voices} n={n} compile={compile_s:.1f}s "
         f"best={best * 1e3:.1f}ms rate={rate / 1e9:.3f}G samples/s "
         f"aggregate_rtf={rtf:.0f}x peak={peak:.3f}")
-    RECAP.append(f"{name}: {rate / 1e9:.2f}G (n={n} v={voices} "
-                 f"peak={peak:.2f})")
     # 0.2% headroom: the sine preset is a deliberately full-scale sine and
     # the fast-mode polynomial sine overshoots |1| by ~1e-5; the assert is
     # for wrong mixer gains (dB-scale clipping), not ulp overshoot
     if not peak <= 1.002:
         raise ValueError(f"[{name}] output clips: peak={peak:.3f} > 1.0 "
                          "-- preset gains are wrong")
+    # recap only after the clip assert: a rejected config (or a retried
+    # ladder rung) must not land in the driver-captured tail as a
+    # completed result
+    RECAP.append(f"{name}: {rate / 1e9:.2f}G (n={n} v={voices} "
+                 f"peak={peak:.2f})")
     return rate
 
 
@@ -275,9 +278,11 @@ def main() -> None:
         # deserves a transport-amortized number (round-4 VERDICT item 4)
         for n_try, seg in ((480000, 96000), (480000, 48000),
                            (96000, None), (48000, None)):
+            seg_tag = f" seg={seg // 48000}s" if seg else ""
             try:
                 bench_config(
-                    f"exact x1024 (block engine) x{n_try / 48000:g}s",
+                    f"exact x1024 (block engine) "
+                    f"x{n_try / 48000:g}s{seg_tag}",
                     subtractive_voice(cfg_x), n_try, 1024, engine="block",
                     segment=seg)
                 break

@@ -529,7 +529,9 @@ def _ring_ok(comb_lens, n, t_c) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def entry(comb_lens, ap_lens, n, t_c):
-    k_c = 2 if _ring_ok(comb_lens, n, t_c) else pick_k_c(n // t_c, t_c, 3)
+    # force the ring's k_c=2 geometry only if the ring can actually run
+    k_c = (2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c))
+           else pick_k_c(n // t_c, t_c, 3))
     return _make_entry(comb_lens, ap_lens, n, t_c, k_c=k_c)
 
 
@@ -540,7 +542,7 @@ def entry_mix(comb_lens, ap_lens, n, t_c, mono, skip_r=False):
     (final_l, final_r?, fs_final, *hists_final)``; ``r`` omitted when
     ``mono``, ``final_r`` omitted when ``skip_r`` (dead Right output)."""
     n_lanes = (1 if mono else 2) + (1 if skip_r else 2)
-    k_c = (2 if _ring_ok(comb_lens, n, t_c)
+    k_c = (2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c))
            else pick_k_c(n // t_c, t_c, n_lanes))
     return _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=True, mono=mono,
                        skip_r=skip_r, k_c=k_c)

@@ -183,6 +183,9 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
         # the same block tile-wide and ~98% of playing blocks take the
         # consecutive tier at kit trigger densities.
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+        # loop-invariant slim-tier condition, hoisted out of the per-block
+        # loop (16 redundant reductions per grid step otherwise)
+        slim = (jnp.max(base) <= 1.0) if cv_none else None
 
         def _per_block_tiers():
             for b in range(NBLK):
@@ -273,8 +276,6 @@ def _make_kernel(rb: int, n: int, k: int, cv_none: bool):
                     # -- 4 take_alongs instead of WA+WB=7 per general
                     # block (rate is the per-row constant `base` here;
                     # with CV it varies per sample, no static bound)
-                    slim = jnp.max(base) <= 1.0
-
                     @pl.when(jnp.logical_and(gen_cond, slim))
                     def _():
                         general(2)

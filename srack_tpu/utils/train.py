@@ -128,6 +128,13 @@ def batched_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
     """
     if packed and (not fast or mesh is not None):
         raise ValueError("packed=True requires fast=True and no mesh")
+    if packed and not getattr(loss_fn, "packed_safe", False):
+        raise ValueError(
+            "packed=True needs an elementwise loss (same value on any "
+            "permutation of the lanes); mark yours with "
+            "`loss_fn.packed_safe = True` if that holds. "
+            "multiscale_spectral_loss is NOT packed-safe (its STFT runs "
+            "over the last axis, which is the 128-lane axis when packed).")
 
     if fast:
         gr = compiled.grad_render_fn(n_samples, batched=True,
@@ -214,8 +221,14 @@ def multi_train_step(compiled: CompiledPatch, optimizer, n_samples: int,
 
     def run(train, frozen, opt_state, targets, keys):
         if packed and targets.ndim != 5:
-            # pack ONCE per dispatch, outside the step scan
+            # pack ONCE per dispatch, outside the step scan (same
+            # V-multiple guard as the single-step path: zero-padded tile
+            # voices would silently dilute the loss)
             from ..ops import fused_vjp as _fv
+            if targets.shape[0] % _fv.TILE_VOICES:
+                raise ValueError(
+                    f"packed=True needs V % {_fv.TILE_VOICES} == 0 "
+                    "(zero-padded tile voices would contaminate the loss)")
             targets = _fv.pack_lanes(targets)
 
         def body(carry, i):
