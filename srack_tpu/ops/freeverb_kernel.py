@@ -529,9 +529,14 @@ def _ring_ok(comb_lens, n, t_c) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def entry(comb_lens, ap_lens, n, t_c):
-    # force the ring's k_c=2 geometry only if the ring can actually run
-    k_c = (2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c))
-           else pick_k_c(n // t_c, t_c, 3))
+    # k_c=1: grid-invocation count is not the kernel's binding cost
+    # (k_c=1 == k_c=2 single-segment within noise, r5_fv_pack1.py) and
+    # the kernel sits on the 16 MB scoped-VMEM cliff -- the round-5
+    # "mystery" tpu_compile_helper 500s decoded as scoped-vmem stack
+    # OOMs (16.27M > 16M for the k_c=2 roll kernel in some schedules);
+    # k_c>1 multiplies the double-buffered lane blocks for nothing.
+    # The ring's k_c=2 geometry is forced only if the ring can run.
+    k_c = 2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c)) else 1
     return _make_entry(comb_lens, ap_lens, n, t_c, k_c=k_c)
 
 
@@ -541,8 +546,7 @@ def entry_mix(comb_lens, ap_lens, n, t_c, mono, skip_r=False):
     ``f(l, r?, fs [16], damp, feed, in_gain, wet1, wet2, dry, *hists) ->
     (final_l, final_r?, fs_final, *hists_final)``; ``r`` omitted when
     ``mono``, ``final_r`` omitted when ``skip_r`` (dead Right output)."""
-    n_lanes = (1 if mono else 2) + (1 if skip_r else 2)
-    k_c = (2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c))
-           else pick_k_c(n // t_c, t_c, n_lanes))
+    # k_c=1 for VMEM headroom (see entry); ring geometry only if enabled
+    k_c = 2 if (RING_DEFAULT and _ring_ok(comb_lens, n, t_c)) else 1
     return _make_entry(comb_lens, ap_lens, n, t_c, fuse_mix=True, mono=mono,
                        skip_r=skip_r, k_c=k_c)
