@@ -452,7 +452,14 @@ def _build(comb_lens, ap_lens, n, t_c, interpret, fuse_mix=False,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((VB, t_c), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
+                dimension_semantics=("arbitrary", "arbitrary"),
+                # the kernel sits at ~16 MB of blocks + body stack -- the
+                # DEFAULT scoped-vmem limit (16 MB) made identical
+                # programs flap between compiling and "tpu_compile_helper
+                # exit 1" (scoped allocation 16.27M > 16.00M) depending
+                # on the schedule; v5e has far more physical VMEM, so
+                # raise the scoped limit well clear of the cliff
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(*lanes_p, fs_p, gp, *hist_args)
 
